@@ -1,0 +1,44 @@
+"""Parameter initializers matching the reference's torch initializations
+(`src/common/init.py:8-43` and per-model manual inits)."""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def xavier_normal(key, shape, dtype=jnp.float32):
+    """torch.nn.init.xavier_normal_ semantics: std = sqrt(2/(fan_in+fan_out))
+    with fan_in/fan_out the trailing/leading dims of a 2-D weight."""
+    fan_out, fan_in = shape[0], shape[-1]
+    std = math.sqrt(2.0 / (fan_in + fan_out))
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def xavier_uniform(key, shape, dtype=jnp.float32):
+    fan_out, fan_in = shape[0], shape[-1]
+    a = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, minval=-a, maxval=a)
+
+
+def normal_init(key, shape, std=0.1, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def linear_params(key, in_dim, out_dim, init=xavier_normal, bias=True):
+    """(W, b) for a dense layer; W stored (out, in) to match torch layout and
+    the xavier fan computation, applied as x @ W.T + b."""
+    kw, _ = jax.random.split(key)
+    W = init(kw, (out_dim, in_dim))
+    if not bias:
+        return {"w": W}
+    return {"w": W, "b": jnp.zeros((out_dim,), dtype)}
+
+
+def apply_linear(p, x):
+    y = x @ p["w"].T
+    if "b" in p:
+        y = y + p["b"]
+    return y

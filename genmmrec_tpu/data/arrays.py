@@ -1,0 +1,187 @@
+"""Device-resident train/eval data structures.
+
+Replaces the reference's pointer-based Python dataloaders
+(`src/utils/dataloader.py:105-417`) with static-shape jnp arrays built once at
+startup:
+
+- ``TrainData``: flat interaction index arrays + a padded per-user history
+  matrix used for vectorized rejection-free negative sampling (reference:
+  Python ``while iid in history`` loop, `src/utils/dataloader.py:267-275`).
+- ``EvalData``: unique eval users, padded ground-truth item matrix, and a
+  padded train-positive matrix used to mask seen items during full-sort
+  scoring (reference: 2×nnz mask index tensor,
+  `src/utils/dataloader.py:345-391`).
+
+All matrices use ``n_items`` as the padding sentinel for item ids (scatter
+with ``mode='drop'`` makes the sentinel a no-op) and ``-1`` for ground-truth
+padding (never matches a valid recommendation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genmmrec_tpu.data.dataset import RecDataset
+
+
+def _pad_group_matrix(
+    ids: np.ndarray, values: np.ndarray, n_rows: int, pad_value: int
+):
+    """Group ``values`` by ``ids`` into a dense (n_rows, max_len) matrix."""
+    order = np.argsort(ids, kind="stable")
+    ids_s, vals_s = ids[order], values[order]
+    counts = np.bincount(ids_s, minlength=n_rows)
+    max_len = int(counts.max()) if len(counts) and counts.max() > 0 else 1
+    out = np.full((n_rows, max_len), pad_value, dtype=np.int32)
+    # position of each element within its row
+    starts = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    pos = np.arange(len(ids_s)) - starts[ids_s]
+    out[ids_s, pos] = vals_s
+    return out, counts.astype(np.int32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TrainData:
+    """Training interactions, device-resident."""
+
+    users: jax.Array  # (n_inter,) int32
+    items: jax.Array  # (n_inter,) int32
+    hist: jax.Array  # (n_users, max_hist) int32, padded with n_items
+    hist_len: jax.Array  # (n_users,) int32
+    item_pool: jax.Array  # (n_pool_padded,) int32 — unique train items (cycled pad)
+    n_users: int = dataclasses.field(metadata=dict(static=True))
+    n_items: int = dataclasses.field(metadata=dict(static=True))
+    n_inter: int = dataclasses.field(metadata=dict(static=True))
+    n_pool: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_batches(self):
+        raise AttributeError("use trainer batch plan")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EvalData:
+    """Evaluation split, device-resident, padded to a user-batch multiple."""
+
+    users: jax.Array  # (U_pad,) int32, padded with 0
+    valid: jax.Array  # (U_pad,) bool — False on padded rows
+    gt_items: jax.Array  # (U_pad, max_gt) int32, padded with -1
+    gt_len: jax.Array  # (U_pad,) int32
+    mask_items: jax.Array  # (U_pad, max_train) int32, padded with n_items
+    mask_len: jax.Array  # (U_pad,) int32
+    n_users_eval: int = dataclasses.field(metadata=dict(static=True))
+    n_items: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_train_data(train_ds: RecDataset) -> TrainData:
+    users = np.asarray(train_ds.table.users, np.int32)
+    items = np.asarray(train_ds.table.items, np.int32)
+    n_users, n_items = train_ds.user_num, train_ds.item_num
+    hist, hist_len = _pad_group_matrix(users, items, n_users, pad_value=n_items)
+    pool = np.unique(items).astype(np.int32)
+    n_pool = len(pool)
+    # pad pool length to a multiple of 128 (lane width) by cycling entries:
+    # sampling stays uniform-enough and shapes stay aligned
+    pad_to = -(-n_pool // 128) * 128
+    pool_padded = np.resize(pool, pad_to)
+    return TrainData(
+        users=jnp.asarray(users),
+        items=jnp.asarray(items),
+        hist=jnp.asarray(hist),
+        hist_len=jnp.asarray(hist_len),
+        item_pool=jnp.asarray(pool_padded),
+        n_users=n_users,
+        n_items=n_items,
+        n_inter=len(users),
+        n_pool=n_pool,
+    )
+
+
+def build_eval_data(
+    eval_ds: RecDataset, train_ds: RecDataset, batch_size: int
+) -> EvalData:
+    n_items = eval_ds.item_num
+    e_users = np.asarray(eval_ds.table.users, np.int32)
+    e_items = np.asarray(eval_ds.table.items, np.int32)
+    uniq = np.unique(e_users)
+    U = len(uniq)
+
+    # remap eval users to compact row ids for grouping
+    remap = np.zeros(eval_ds.user_num + 1, np.int64)
+    remap[uniq] = np.arange(U)
+    gt, gt_len = _pad_group_matrix(remap[e_users], e_items, U, pad_value=-1)
+
+    # train positives for these users (for masking during full-sort)
+    t_users = np.asarray(train_ds.table.users, np.int32)
+    t_items = np.asarray(train_ds.table.items, np.int32)
+    keep = np.isin(t_users, uniq)
+    mask_m, mask_len = _pad_group_matrix(
+        remap[t_users[keep]], t_items[keep], U, pad_value=n_items
+    )
+
+    U_pad = -(-U // batch_size) * batch_size
+    pad = U_pad - U
+
+    def _pad_rows(a, fill):
+        return np.concatenate(
+            [a, np.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0
+        )
+
+    return EvalData(
+        users=jnp.asarray(_pad_rows(uniq.astype(np.int32), 0)),
+        valid=jnp.asarray(
+            np.concatenate([np.ones(U, bool), np.zeros(pad, bool)])
+        ),
+        gt_items=jnp.asarray(_pad_rows(gt, -1)),
+        gt_len=jnp.asarray(_pad_rows(np.maximum(gt_len, 1), 1)),
+        mask_items=jnp.asarray(_pad_rows(mask_m, n_items)),
+        mask_len=jnp.asarray(_pad_rows(mask_len, 0)),
+        n_users_eval=U,
+        n_items=n_items,
+    )
+
+
+# ----------------------------------------------------------------------
+def sample_negatives(
+    key: jax.Array,
+    users: jax.Array,
+    hist: jax.Array,
+    item_pool: jax.Array,
+    n_pool: int,
+    rounds: int = 8,
+) -> jax.Array:
+    """Vectorized negative sampling against padded user histories.
+
+    TPU-native replacement for the reference's per-interaction Python
+    rejection loop (`src/utils/dataloader.py:267-275`): draw a uniform
+    candidate from the train item pool for every row, test membership against
+    the user's padded history on the VPU, and redraw (fixed ``rounds``
+    iterations) only where the candidate collided. With ≥99.8% sparsity the
+    collision probability per round is <0.2%, so eight rounds drive the
+    failure probability below 1e-21.
+    """
+    B = users.shape[0]
+    user_hist = hist[users]  # (B, max_hist)
+
+    def draw(k):
+        idx = jax.random.randint(k, (B,), 0, n_pool)
+        return item_pool[idx]
+
+    def body(carry, k):
+        neg = carry
+        collide = jnp.any(user_hist == neg[:, None], axis=1)
+        fresh = draw(k)
+        return jnp.where(collide, fresh, neg), None
+
+    keys = jax.random.split(key, rounds + 1)
+    neg0 = draw(keys[0])
+    neg, _ = jax.lax.scan(body, neg0, keys[1:])
+    return neg

@@ -1,0 +1,446 @@
+"""Training engine: jit-compiled epoch scans, on-device evaluation, early
+stopping, checkpointing.
+
+Capability parity with the reference ``Trainer``
+(`src/common/trainer.py:58-408`):
+- optimizer selection (adam/sgd/adagrad/rmsprop) + torch-style coupled
+  weight decay;
+- exponential LR schedule ``lr * s0 ** (epoch / s1)``
+  (`src/common/trainer.py:110-113`);
+- epoch loop with ``pre_epoch_processing`` / ``post_epoch_processing`` model
+  hooks, multi-part loss tuples, NaN abort, optional gradient clipping and
+  the "mirror-gradient" (mg) two-pass trick (`src/common/trainer.py:180-197`);
+- eval every ``eval_step`` epochs with early stopping on the valid metric,
+  test-upon-valid bookkeeping and best-checkpoint saving
+  (`src/common/trainer.py:238-343`).
+
+TPU-native deltas:
+- an epoch is ONE jitted ``lax.scan`` over statically-shaped batches —
+  negative sampling, loss, grads and the optimizer update all fuse into a
+  single device program; no per-batch host sync (the reference calls
+  ``loss.item()`` every batch, `src/common/trainer.py:171-175`);
+- evaluation runs fully on device: sharded full-catalog scoring, scatter
+  masking of train positives, ``lax.top_k`` and the jnp metric suite;
+- checkpoints include optimizer state and epoch for resume (the reference
+  never wires resume, `src/common/trainer.py:97`).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from logging import getLogger
+from time import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from genmmrec_tpu.data.arrays import EvalData, TrainData, sample_negatives
+from genmmrec_tpu.engine.evaluator import TopKEvaluator
+from genmmrec_tpu.parallel.mesh import build_mesh, data_sharding, replicated
+from genmmrec_tpu.utils.misc import dict2str, early_stopping, get_local_time
+
+
+def get_trainer(model_name: Optional[str] = None):
+    """Trainer registry (parity with `src/utils/utils.py:44-58`)."""
+    from genmmrec_tpu.engine import diffusion_trainers as dt
+
+    mapping = {
+        "DiffMM": dt.DiffMMTrainer,
+        "GenRecV1": dt.GenRecV1Trainer,
+        "MVDiff": dt.MVDiffTrainer,
+    }
+    return mapping.get(model_name, Trainer)
+
+
+class Trainer:
+    def __init__(self, config, model, mg: bool = False):
+        self.config = config
+        self.model = model
+        self.logger = getLogger()
+
+        self.learner = str(config["learner"] or "adam")
+        self.learning_rate = float(config["learning_rate"])
+        self.epochs = int(config["epochs"])
+        self.eval_step = min(int(config["eval_step"] or 1), self.epochs)
+        self.stopping_step = int(config["stopping_step"])
+        self.clip_grad_norm = config["clip_grad_norm"]
+        self.valid_metric = str(config["valid_metric"]).lower()
+        self.valid_metric_bigger = bool(config["valid_metric_bigger"])
+        self.eval_batch_size = int(config["eval_batch_size"])
+        self.train_batch_size = int(config["train_batch_size"])
+        self.req_training = bool(config["req_training"])
+        wd = config["weight_decay"]
+        self.weight_decay = float(eval(wd)) if isinstance(wd, str) else float(wd or 0.0)
+        self.lr_schedule_cfg = config["learning_rate_scheduler"] or [1.0, 50]
+        self.neg_rounds = int(config["neg_sample_rounds"] or 8)
+
+        self.mg = mg
+        self.alpha1 = float(config["alpha1"] or 1.0) if mg else 1.0
+        self.alpha2 = float(config["alpha2"] or 0.0) if mg else 0.0
+        self.beta = int(config["beta"] or 1) if mg else 1
+
+        self.start_epoch = 0
+        self.cur_step = 0
+        init_metrics = {
+            f"{m.lower()}@{k}": 0.0
+            for m in config["metrics"]
+            for k in config["topk"]
+        }
+        self.best_valid_score = -1.0
+        self.best_valid_result = init_metrics
+        self.best_test_upon_valid = init_metrics
+        self.train_loss_dict = {}
+        self.evaluator = TopKEvaluator(config)
+
+        self.mesh = build_mesh(config)
+        self.use_wandb = bool(config["use_wandb"])
+        self._wandb = None
+        if self.use_wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb if wandb.run is not None else None
+            except ImportError:
+                self._wandb = None
+
+        # group masks for test-time metrics, set by quick_start
+        self.pop_mask = config["pop_mask"]  # (n_items,) bool jnp or None
+        self.warm_mask = config["warm_mask"]  # (n_users,) bool jnp or None
+
+        self._train_epoch_fn = None
+        self._eval_fn = None
+
+    # ------------------------------------------------------------------
+    def _make_optimizer(self) -> optax.GradientTransformation:
+        steps_per_epoch = max(1, self._num_batches)
+        s0, s1 = float(self.lr_schedule_cfg[0]), float(self.lr_schedule_cfg[1])
+
+        def schedule(step):
+            epoch = step // steps_per_epoch
+            return self.learning_rate * jnp.power(s0, epoch / s1)
+
+        name = self.learner.lower()
+        chain = []
+        if self.clip_grad_norm:
+            max_norm = (
+                self.clip_grad_norm.get("max_norm")
+                if isinstance(self.clip_grad_norm, dict)
+                else float(self.clip_grad_norm)
+            )
+            chain.append(optax.clip_by_global_norm(float(max_norm)))
+        if self.weight_decay:
+            # torch-style coupled decay: grad += wd * param, before the
+            # optimizer moments (reference builds optim.Adam(weight_decay=..))
+            chain.append(optax.add_decayed_weights(self.weight_decay))
+        if name == "adam":
+            chain.append(optax.scale_by_adam())
+        elif name == "sgd":
+            pass  # plain SGD: identity before lr scaling
+        elif name == "adagrad":
+            chain.append(optax.scale_by_rss(initial_accumulator_value=0.0))
+        elif name == "rmsprop":
+            chain.append(optax.scale_by_rms())
+        else:
+            self.logger.warning("Unrecognized optimizer %s; using adam", name)
+            chain.append(optax.scale_by_adam())
+        chain.append(optax.scale_by_schedule(lambda s: -schedule(s)))
+        return optax.chain(*chain)
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self, td: TrainData):
+        model = self.model
+        B = self.train_batch_size
+        n_inter = td.n_inter
+        self._num_batches = -(-n_inter // B)
+        n_pad = self._num_batches * B
+        optimizer = self._make_optimizer()
+        mg, alpha1, alpha2, beta = self.mg, self.alpha1, self.alpha2, self.beta
+        neg_rounds = self.neg_rounds
+
+        def loss_fn(params, state, batch, key):
+            total, parts = model.loss(params, state, batch, key)
+            return total, parts
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def batch_step(state, carry, xs):
+            params, opt_state = carry
+            raw_idx, key, batch_i = xs
+            k_neg, k_loss, k_loss2 = jax.random.split(key, 3)
+            # raw_idx >= n_inter are padding slots: clamp to 0 and weight 0
+            weight = (raw_idx < n_inter).astype(jnp.float32)
+            idx = raw_idx % n_inter
+            users = td.users[idx]
+            pos = td.items[idx]
+            neg = sample_negatives(
+                k_neg, users, td.hist, td.item_pool, td.n_pool, neg_rounds
+            )
+            batch = {"users": users, "pos": pos, "neg": neg, "weight": weight}
+            (total, parts), grads = grad_fn(params, state, batch, k_loss)
+
+            if mg:
+                def mirror_branch(operand):
+                    params, opt_state, grads = operand
+                    # first pass: step with alpha1 * grads
+                    g1 = jax.tree_util.tree_map(lambda g: alpha1 * g, grads)
+                    upd, new_opt = optimizer.update(g1, opt_state, params)
+                    p1 = optax.apply_updates(params, upd)
+                    # second pass on the same batch, step with -alpha2 * grads
+                    (_, _), g2 = grad_fn(p1, state, batch, k_loss2)
+                    g2 = jax.tree_util.tree_map(lambda g: -alpha2 * g, g2)
+                    upd2, new_opt2 = optimizer.update(g2, new_opt, p1)
+                    return optax.apply_updates(p1, upd2), new_opt2
+
+                def plain_branch(operand):
+                    params, opt_state, grads = operand
+                    upd, new_opt = optimizer.update(grads, opt_state, params)
+                    return optax.apply_updates(params, upd), new_opt
+
+                params, opt_state = jax.lax.cond(
+                    batch_i % beta == 0,
+                    mirror_branch,
+                    plain_branch,
+                    (params, opt_state, grads),
+                )
+            else:
+                upd, new_opt = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, upd)
+                opt_state = new_opt
+
+            parts = jnp.stack([p for p in parts])
+            return (params, opt_state), parts
+
+        num_batches = self._num_batches
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_epoch(params, opt_state, state, key):
+            k_perm, k_scan = jax.random.split(key)
+            perm = jax.random.permutation(k_perm, n_pad)
+            idxs = perm.reshape(num_batches, B)
+            keys = jax.random.split(k_scan, num_batches)
+            batch_ids = jnp.arange(num_batches)
+            (params, opt_state), parts = jax.lax.scan(
+                lambda c, xs: batch_step(state, c, xs),
+                (params, opt_state),
+                (idxs, keys, batch_ids),
+            )
+            totals = parts.sum(axis=0)  # summed per-part losses over batches
+            return params, opt_state, totals
+
+        return optimizer, train_epoch
+
+    # ------------------------------------------------------------------
+    def _build_eval_fn(self):
+        model = self.model
+        max_k = self.evaluator.max_k
+        B = self.eval_batch_size
+        n_items = self.model.n_items
+        k_eff = min(max_k, n_items)
+
+        @partial(jax.jit, static_argnames=("n_chunks",))
+        def eval_topk(params, state, users, mask_items, n_chunks):
+            users_c = users.reshape(n_chunks, B)
+            mask_c = mask_items.reshape(n_chunks, B, -1)
+
+            def one(args):
+                u, m = args
+                scores = model.scores(params, state, u)
+                # scatter -inf over train positives; sentinel col n_items drops
+                rows = jnp.arange(u.shape[0])[:, None]
+                scores = scores.at[rows, m].set(-1e10, mode="drop")
+                _, topk = jax.lax.top_k(scores, k_eff)
+                if k_eff < max_k:  # tiny catalogs: pad ranks with -1 (no item)
+                    topk = jnp.pad(topk, ((0, 0), (0, max_k - k_eff)), constant_values=-1)
+                return topk
+
+            return jax.lax.map(one, (users_c, mask_c)).reshape(-1, max_k)
+
+        return eval_topk
+
+    # ------------------------------------------------------------------
+    def fit(self, train_data, valid_data=None, test_data=None, saved=False, verbose=True):
+        """train_data: TrainData; valid/test_data: EvalData."""
+        td: TrainData = train_data
+        seed_cfg = self.config["seed"]
+        if isinstance(seed_cfg, list):
+            seed_cfg = seed_cfg[0]
+        seed = int(seed_cfg or 0)
+        root_key = jax.random.PRNGKey(seed)
+        k_init, k_state, k_run = jax.random.split(root_key, 3)
+
+        params = self.model.init_params(k_init)
+        self._state = self.model.init_state(k_state)
+        optimizer, train_epoch = self._build_train_step(td)
+        opt_state = optimizer.init(params)
+        self._eval_fn = self._build_eval_fn()
+        pre_epoch = jax.jit(self.model.pre_epoch)
+
+        if verbose:
+            self.logger.info(self.model.describe(params))
+
+        for epoch_idx in range(self.start_epoch, self.epochs):
+            t0 = time()
+            k_epoch = jax.random.fold_in(k_run, epoch_idx)
+            k_pre, k_train = jax.random.split(k_epoch)
+            self._state = pre_epoch(params, self._state, k_pre, jnp.int32(epoch_idx))
+
+            if self.req_training:
+                params, opt_state, totals = train_epoch(
+                    params, opt_state, self._state, k_train
+                )
+                totals = np.asarray(totals)
+                if not np.all(np.isfinite(totals)):
+                    self.logger.info(
+                        "Loss is nan at epoch: %d. Exiting.", epoch_idx
+                    )
+                    break
+                train_loss = tuple(totals.tolist()) if totals.size > 1 else float(totals[0])
+            else:
+                train_loss = 0.0
+            self.train_loss_dict[epoch_idx] = (
+                sum(train_loss) if isinstance(train_loss, tuple) else train_loss
+            )
+            t1 = time()
+            if verbose:
+                if isinstance(train_loss, tuple):
+                    loss_str = ", ".join(
+                        f"train_loss{i + 1}: {l:.4f}" for i, l in enumerate(train_loss)
+                    )
+                else:
+                    loss_str = f"train loss: {train_loss:.4f}"
+                self.logger.info(
+                    "epoch %d training [time: %.2fs, %s]", epoch_idx, t1 - t0, loss_str
+                )
+            post_info = self.model.post_epoch(params, self._state)
+            if post_info is not None and verbose:
+                self.logger.info(post_info)
+
+            if self._wandb:
+                log = {"epoch": epoch_idx, "train/time": t1 - t0}
+                if isinstance(train_loss, tuple):
+                    for i, l in enumerate(train_loss):
+                        log[f"train/loss_{i + 1}"] = l
+                    log["train/total_loss"] = sum(train_loss)
+                else:
+                    log["train/loss"] = train_loss
+                self._wandb.log(log, step=epoch_idx)
+
+            if valid_data is None or (epoch_idx + 1) % self.eval_step != 0:
+                continue
+
+            tv0 = time()
+            valid_result = self.evaluate(params, valid_data)
+            valid_score = valid_result[self.valid_metric]
+            (
+                self.best_valid_score,
+                self.cur_step,
+                stop_flag,
+                update_flag,
+            ) = early_stopping(
+                valid_score,
+                self.best_valid_score,
+                self.cur_step,
+                max_step=self.stopping_step,
+                bigger=self.valid_metric_bigger,
+            )
+            tv1 = time()
+            test_result = (
+                self.evaluate(params, test_data, is_test=True)
+                if test_data is not None
+                else {}
+            )
+            if verbose:
+                self.logger.info(
+                    "epoch %d evaluating [time: %.2fs, valid_score: %f]",
+                    epoch_idx,
+                    tv1 - tv0,
+                    valid_score,
+                )
+                self.logger.info("valid result: \n%s", dict2str(valid_result))
+                self.logger.info("test result: \n%s", dict2str(test_result))
+
+            if self._wandb:
+                self._wandb.log(
+                    {
+                        "epoch": epoch_idx,
+                        "valid/score": valid_score,
+                        "valid/time": tv1 - tv0,
+                        **{f"valid/{k}": v for k, v in valid_result.items()},
+                        **{f"test/{k}": v for k, v in test_result.items()},
+                    },
+                    step=epoch_idx,
+                )
+
+            if update_flag:
+                if verbose:
+                    self.logger.info(
+                        "██ %s--Best validation results updated!!!",
+                        self.config["model"],
+                    )
+                self.best_valid_result = valid_result
+                self.best_test_upon_valid = test_result
+                if saved:
+                    self._save_checkpoint(params, opt_state, epoch_idx)
+            if stop_flag:
+                if verbose:
+                    self.logger.info(
+                        "+++++Finished training, best eval result in epoch %d",
+                        epoch_idx - self.cur_step * self.eval_step,
+                    )
+                break
+
+        self.params = params
+        return self.best_valid_score, self.best_valid_result, self.best_test_upon_valid
+
+    # ------------------------------------------------------------------
+    def evaluate(self, params, eval_data: EvalData, is_test: bool = False, idx: int = 0):
+        if self._eval_fn is None:
+            self._eval_fn = self._build_eval_fn()
+        n_chunks = eval_data.users.shape[0] // self.eval_batch_size
+        topk_index = self._eval_fn(
+            params, self._state, eval_data.users, eval_data.mask_items, n_chunks
+        )
+        return self.evaluator.evaluate(
+            topk_index,
+            eval_data,
+            pop_mask=self.pop_mask,
+            warm_mask=self.warm_mask if is_test else None,
+            is_test=is_test,
+            idx=idx,
+        )
+
+    # ------------------------------------------------------------------
+    def _save_checkpoint(self, params, opt_state, epoch: int) -> None:
+        from genmmrec_tpu.engine.checkpoint import save_checkpoint
+
+        ckpt_dir = self.config["checkpoint_dir"] or "saved"
+        path = os.path.join(
+            ckpt_dir, f"{self.config['model']}-{self.config['dataset']}"
+        )
+        save_checkpoint(
+            path,
+            params=params,
+            opt_state=opt_state,
+            state=self._state,
+            epoch=epoch,
+            best_valid_score=self.best_valid_score,
+        )
+        self.logger.info("Saved best model to %s", path)
+
+    def plot_train_loss(self, show=True, save_path=None):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        epochs = sorted(self.train_loss_dict.keys())
+        values = [float(self.train_loss_dict[e]) for e in epochs]
+        plt.plot(epochs, values)
+        plt.xlabel("Epoch")
+        plt.ylabel("Loss")
+        if save_path:
+            plt.savefig(save_path)

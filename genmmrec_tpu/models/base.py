@@ -1,0 +1,95 @@
+"""Functional model base class.
+
+Capability parity with the reference's model API
+(`src/common/abstract_recommender.py:10-103`): models consume the merged
+config plus the training data, expose ``calculate_loss`` over a
+``[users, pos, neg]`` batch and ``full_sort_predict`` over a user batch, and
+may hook per-epoch processing.
+
+TPU-native design deltas:
+- parameters are an explicit pytree returned by ``init_params(key)`` — no
+  hidden module state, so the trainer can jit/pjit/donate freely;
+- mutable per-epoch artifacts (rebuilt graphs, dropped edges, generated
+  interactions) live in an explicit ``state`` pytree transformed by the pure
+  ``pre_epoch``/``post_epoch`` hooks;
+- all stochastic ops take explicit PRNG keys.
+
+Batch convention (mirrors the reference's stacked tensor,
+`src/utils/dataloader.py:226-250`): a dict with ``users``/``pos``/``neg``
+int32 vectors and a float ``weight`` vector (0 for padded rows).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from genmmrec_tpu.data.arrays import TrainData
+from genmmrec_tpu.data.features import load_modal_features
+
+Params = Any
+State = Any
+Batch = Dict[str, jnp.ndarray]
+
+
+class RecModel:
+    """Base for all recommenders. Subclasses implement the pure methods."""
+
+    # set False for pure-CF models (BPR/LightGCN/...)
+    is_multimodal = True
+
+    def __init__(self, config, data: TrainData):
+        self.config = config
+        self.data = data
+        self.n_users = data.n_users
+        self.n_items = data.n_items
+        self.batch_size = int(config["train_batch_size"])
+        self.v_feat: Optional[jnp.ndarray] = None
+        self.t_feat: Optional[jnp.ndarray] = None
+        if config["is_multimodal_model"] and self.is_multimodal:
+            self.v_feat, self.t_feat = load_modal_features(config, self.n_items)
+            assert self.v_feat is not None or self.t_feat is not None, "Features all NONE"
+
+    # -- pure API -------------------------------------------------------
+    def init_params(self, key: jax.Array) -> Params:
+        raise NotImplementedError
+
+    def init_state(self, key: jax.Array) -> State:
+        return {}
+
+    def loss(
+        self, params: Params, state: State, batch: Batch, key: jax.Array
+    ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+        """Return (total_loss, per-part losses)."""
+        raise NotImplementedError
+
+    def scores(self, params: Params, state: State, users: jnp.ndarray) -> jnp.ndarray:
+        """Full-catalog scores, shape (len(users), n_items)."""
+        raise NotImplementedError
+
+    def pre_epoch(
+        self, params: Params, state: State, key: jax.Array, epoch: jnp.ndarray
+    ) -> State:
+        """Pure per-epoch state transform (e.g. edge dropout). Jitted."""
+        return state
+
+    def post_epoch(self, params: Params, state: State) -> Optional[str]:
+        """Host-side hook after each epoch; may return a log string."""
+        return None
+
+    # -- conveniences ---------------------------------------------------
+    @property
+    def item_raw_features(self) -> jnp.ndarray:
+        """Concatenated (text, vision) raw features, reference VBPR pattern
+        (`src/models/vbpr.py:33-38`)."""
+        if self.v_feat is not None and self.t_feat is not None:
+            return jnp.concatenate([self.t_feat, self.v_feat], axis=-1)
+        return self.v_feat if self.v_feat is not None else self.t_feat
+
+    def param_count(self, params: Params) -> int:
+        return sum(p.size for p in jax.tree_util.tree_leaves(params))
+
+    def describe(self, params: Params) -> str:
+        return f"{type(self).__name__}\nTrainable parameters: {self.param_count(params)}"
