@@ -27,7 +27,7 @@ def normal_init(key, shape, std=0.1, dtype=jnp.float32):
     return jax.random.normal(key, shape, dtype) * std
 
 
-def linear_params(key, in_dim, out_dim, init=xavier_normal, bias=True):
+def linear_params(key, in_dim, out_dim, init=xavier_normal, bias=True, dtype=jnp.float32):
     """(W, b) for a dense layer; W stored (out, in) to match torch layout and
     the xavier fan computation, applied as x @ W.T + b."""
     kw, _ = jax.random.split(key)

@@ -25,8 +25,15 @@ def bpr_loss(
     weights: Optional[jnp.ndarray] = None,
     gamma: float = 1e-10,
 ) -> jnp.ndarray:
-    """-log σ(pos − neg), averaged (reference BPRLoss, loss.py:9-35)."""
-    return _wmean(-jnp.log(gamma + jax.nn.sigmoid(pos_score - neg_score)), weights)
+    """-log σ(pos − neg), averaged (reference BPRLoss, loss.py:9-35).
+
+    ``gamma=0`` selects the numerically-stable log-sigmoid form (the
+    reference's FREEDOM-style ``-logsigmoid(pos-neg)``).
+    """
+    diff = pos_score - neg_score
+    if gamma == 0.0:
+        return _wmean(-jax.nn.log_sigmoid(diff), weights)
+    return _wmean(-jnp.log(gamma + jax.nn.sigmoid(diff)), weights)
 
 
 def emb_loss(*embeddings: jnp.ndarray, norm: int = 2) -> jnp.ndarray:

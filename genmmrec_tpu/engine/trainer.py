@@ -160,6 +160,7 @@ class Trainer:
         optimizer = self._make_optimizer()
         mg, alpha1, alpha2, beta = self.mg, self.alpha1, self.alpha2, self.beta
         neg_rounds = self.neg_rounds
+        use_neg = bool(self.config["use_neg_sampling"])
 
         def loss_fn(params, state, batch, key):
             total, parts = model.loss(params, state, batch, key)
@@ -176,9 +177,12 @@ class Trainer:
             idx = raw_idx % n_inter
             users = td.users[idx]
             pos = td.items[idx]
-            neg = sample_negatives(
-                k_neg, users, td.hist, td.item_pool, td.n_pool, neg_rounds
-            )
+            if use_neg:
+                neg = sample_negatives(
+                    k_neg, users, td.hist, td.item_pool, td.n_pool, neg_rounds
+                )
+            else:  # e.g. BM3 (use_neg_sampling: False) — negatives unused
+                neg = jnp.zeros_like(pos)
             batch = {"users": users, "pos": pos, "neg": neg, "weight": weight}
             (total, parts), grads = grad_fn(params, state, batch, k_loss)
 

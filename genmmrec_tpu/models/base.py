@@ -34,6 +34,15 @@ State = Any
 Batch = Dict[str, jnp.ndarray]
 
 
+def scalar(value, cast=float):
+    """Resolve a config value that may still be a hyper-grid list (tests /
+    direct use bypass the grid loop, which scalarizes). Lists take their
+    first entry, mirroring the reference's default-on-first-combo behavior."""
+    if isinstance(value, list):
+        value = value[0]
+    return cast(value)
+
+
 class RecModel:
     """Base for all recommenders. Subclasses implement the pure methods."""
 

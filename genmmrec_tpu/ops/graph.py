@@ -1,0 +1,246 @@
+"""Sparse graph operators: the TPU-native replacement for
+``torch.sparse.mm`` / ``torch-scatter`` / ``torch_geometric``.
+
+The single hottest op in the reference is the (N+M)×(N+M) normalized
+bipartite adjacency SpMM executed by every graph model on every batch
+(e.g. `src/models/lightgcn.py:115-128`, `src/models/diffmm.py:129-169`).
+cuSPARSE is replaced by a segment-sum formulation that XLA lowers to
+sorted-scatter on TPU:
+
+    out = segment_sum(vals[:, None] * X[cols], rows, N)
+
+with edges pre-sorted by row (``indices_are_sorted=True``) — the layout a
+Pallas row-blocked kernel can later slot into behind the same interface.
+
+Edge dropout and epoch-varying graph topology keep **static shapes** by
+masking edge values to zero rather than changing nnz (the reference rebuilds
+scipy matrices on host per epoch, `src/common/trainer.py:529-576`).
+
+Also provides the KNN-graph builders mirroring `src/utils/utils.py:130-197`
+(build_sim / build_knn_neighbourhood / normalized laplacians) used by
+LATTICE/FREEDOM/GUME/CoDMR/GenRec-V1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SparseGraph:
+    """COO graph sorted by row; static nnz; value-masking for topology."""
+
+    rows: jax.Array  # (nnz,) int32, sorted ascending
+    cols: jax.Array  # (nnz,) int32
+    vals: jax.Array  # (nnz,) float32
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def nnz(self) -> int:
+        return self.rows.shape[0]
+
+
+def spmm(g: SparseGraph, x: jnp.ndarray) -> jnp.ndarray:
+    """Sparse @ dense: (n_rows, n_cols) @ (n_cols, d) -> (n_rows, d)."""
+    gathered = g.vals[:, None] * x[g.cols]
+    return jax.ops.segment_sum(
+        gathered, g.rows, num_segments=g.n_rows, indices_are_sorted=True
+    )
+
+
+def spmm_t(g: SparseGraph, x: jnp.ndarray) -> jnp.ndarray:
+    """Transpose SpMM: (n_cols, n_rows) @ (n_rows, d) without re-sorting."""
+    gathered = g.vals[:, None] * x[g.rows]
+    return jax.ops.segment_sum(gathered, g.cols, num_segments=g.n_cols)
+
+
+# ----------------------------------------------------------------------
+def bipartite_norm_adj(
+    users: np.ndarray,
+    items: np.ndarray,
+    n_users: int,
+    n_items: int,
+    eps: float = 1e-7,
+) -> SparseGraph:
+    """Symmetric-normalized (N+M)×(N+M) adjacency D^{-1/2} A D^{-1/2}.
+
+    Built once on host from the train edge list; value parity with the
+    reference builder (`src/models/lightgcn.py:65-101`): degree = row count
+    + eps, then -0.5 power. Duplicate (u, i) pairs are deduplicated —
+    matching the reference's dict-based assembly which collapses dupes.
+    """
+    N = n_users + n_items
+    pairs = np.unique(
+        np.stack([users.astype(np.int64), items.astype(np.int64)], axis=1), axis=0
+    )
+    uu, ii = pairs[:, 0], pairs[:, 1] + n_users
+    rows = np.concatenate([uu, ii])
+    cols = np.concatenate([ii, uu])
+    deg = np.bincount(rows, minlength=N).astype(np.float64) + eps
+    d_inv_sqrt = np.power(deg, -0.5)
+    vals = (d_inv_sqrt[rows] * d_inv_sqrt[cols]).astype(np.float32)
+    order = np.argsort(rows, kind="stable")
+    return SparseGraph(
+        rows=jnp.asarray(rows[order].astype(np.int32)),
+        cols=jnp.asarray(cols[order].astype(np.int32)),
+        vals=jnp.asarray(vals[order]),
+        n_rows=N,
+        n_cols=N,
+    )
+
+
+def ui_norm_adj(
+    users: np.ndarray,
+    items: np.ndarray,
+    n_users: int,
+    n_items: int,
+) -> SparseGraph:
+    """Rectangular n_users×n_items D_u^{-1/2} R D_i^{-1/2} (DiffMM pattern,
+    `src/common/trainer.py:460-485` buildUIMatrix normalization)."""
+    pairs = np.unique(
+        np.stack([users.astype(np.int64), items.astype(np.int64)], axis=1), axis=0
+    )
+    uu, ii = pairs[:, 0], pairs[:, 1]
+    du = np.bincount(uu, minlength=n_users).astype(np.float64)
+    di = np.bincount(ii, minlength=n_items).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        du = np.where(du > 0, np.power(du, -0.5), 0.0)
+        di = np.where(di > 0, np.power(di, -0.5), 0.0)
+    vals = (du[uu] * di[ii]).astype(np.float32)
+    order = np.argsort(uu, kind="stable")
+    return SparseGraph(
+        rows=jnp.asarray(uu[order].astype(np.int32)),
+        cols=jnp.asarray(ii[order].astype(np.int32)),
+        vals=jnp.asarray(vals[order]),
+        n_rows=n_users,
+        n_cols=n_items,
+    )
+
+
+# ----------------------------------------------------------------------
+def edge_dropout(key: jax.Array, g: SparseGraph, keep_prob: float, paired: bool = False) -> SparseGraph:
+    """Bernoulli edge dropout with 1/keep rescale, static shape.
+
+    With ``paired=True`` the nnz is assumed to be [forward; backward] halves
+    of a symmetrized bipartite graph and the same mask is applied to both —
+    preserving symmetry like the reference's sparse dropout on the stacked
+    edge list.
+    """
+    if paired:
+        half = g.nnz // 2
+        m = jax.random.bernoulli(key, keep_prob, (half,))
+        mask = jnp.concatenate([m, m]).astype(g.vals.dtype)
+    else:
+        mask = jax.random.bernoulli(key, keep_prob, (g.nnz,)).astype(g.vals.dtype)
+    return dataclasses.replace(g, vals=g.vals * mask / keep_prob)
+
+
+def degree_edge_dropout(
+    key: jax.Array,
+    users: jnp.ndarray,
+    items: jnp.ndarray,
+    n_users: int,
+    n_items: int,
+    keep_ratio: float,
+) -> jnp.ndarray:
+    """Degree-sensitive edge sampling (FREEDOM,
+    `src/models/freedom.py:128-140`): edge keep probability ∝
+    1/sqrt(deg_u * deg_i), sampled without replacement via Gumbel top-k.
+
+    Returns a boolean keep mask of static shape (n_edges,) with
+    floor(n_edges * keep_ratio) True entries.
+    """
+    n_edges = users.shape[0]
+    deg_u = jax.ops.segment_sum(jnp.ones(n_edges), users, num_segments=n_users)
+    deg_i = jax.ops.segment_sum(jnp.ones(n_edges), items, num_segments=n_items)
+    weights = 1.0 / jnp.sqrt(jnp.maximum(deg_u[users] * deg_i[items], 1e-12))
+    # Gumbel-top-k = sampling without replacement proportional to weights
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, (n_edges,)) + 1e-20) + 1e-20)
+    scores = jnp.log(weights) + gumbel
+    k = int(n_edges * keep_ratio)
+    thresh = jnp.sort(scores)[n_edges - k]
+    return scores >= thresh
+
+
+# ----------------------------------------------------------------------
+# KNN item-item graphs (LATTICE/FREEDOM/GUME pattern, utils.py:130-197)
+def build_sim(features: jnp.ndarray) -> jnp.ndarray:
+    """Cosine similarity matrix of row-normalized features."""
+    x = features / jnp.maximum(
+        jnp.linalg.norm(features, axis=-1, keepdims=True), 1e-12
+    )
+    return x @ x.T
+
+
+def knn_graph_dense(
+    sim: jnp.ndarray, topk: int, norm_type: str = "sym"
+) -> jnp.ndarray:
+    """Dense KNN adjacency: keep row-wise top-k sims, normalize laplacian."""
+    n = sim.shape[0]
+    vals, idx = jax.lax.top_k(sim, topk)
+    adj = jnp.zeros_like(sim).at[jnp.arange(n)[:, None], idx].set(vals)
+    return norm_laplacian_dense(adj, norm_type)
+
+
+def norm_laplacian_dense(adj: jnp.ndarray, norm_type: str = "sym") -> jnp.ndarray:
+    rowsum = adj.sum(axis=-1)
+    if norm_type == "sym":
+        d = jnp.where(rowsum > 0, rowsum**-0.5, 0.0)
+        return adj * d[:, None] * d[None, :]
+    if norm_type == "rw":
+        d = jnp.where(rowsum > 0, 1.0 / rowsum, 0.0)
+        return adj * d[:, None]
+    return adj
+
+
+def knn_graph_sparse(
+    features: np.ndarray, topk: int, norm_type: str = "sym"
+) -> SparseGraph:
+    """Sparse KNN graph built on host (init-time), nnz = n*topk.
+
+    Replacement for ``build_knn_normalized_graph(..., is_sparse=True)``
+    (`src/utils/utils.py:184-197`), whose normalization uses
+    torch_scatter.scatter_add — here plain numpy segment sums.
+    """
+    f = np.asarray(features, np.float32)
+    f = f / np.maximum(np.linalg.norm(f, axis=1, keepdims=True), 1e-12)
+    n = f.shape[0]
+    # blocked host topk to bound memory at elec scale (63k x 63k sim)
+    block = max(1, min(n, 8192))
+    rows_list, cols_list, vals_list = [], [], []
+    for s in range(0, n, block):
+        sim_blk = f[s : s + block] @ f.T
+        idx = np.argpartition(-sim_blk, topk - 1, axis=1)[:, :topk]
+        vals = np.take_along_axis(sim_blk, idx, axis=1)
+        rows_list.append(
+            np.repeat(np.arange(s, min(s + block, n)), topk).astype(np.int64)
+        )
+        cols_list.append(idx.reshape(-1).astype(np.int64))
+        vals_list.append(vals.reshape(-1).astype(np.float64))
+    rows = np.concatenate(rows_list)
+    cols = np.concatenate(cols_list)
+    vals = np.concatenate(vals_list)
+    if norm_type == "sym":
+        deg = np.zeros(n)
+        np.add.at(deg, rows, vals)
+        with np.errstate(divide="ignore"):
+            dis = np.where(deg > 0, np.power(deg, -0.5), 0.0)
+        vals = dis[rows] * vals * dis[cols]
+    elif norm_type == "rw":
+        deg = np.zeros(n)
+        np.add.at(deg, rows, vals)
+        vals = np.where(deg[rows] > 0, vals / deg[rows], 0.0)
+    return SparseGraph(
+        rows=jnp.asarray(rows.astype(np.int32)),
+        cols=jnp.asarray(cols.astype(np.int32)),
+        vals=jnp.asarray(vals.astype(np.float32)),
+        n_rows=n,
+        n_cols=n,
+    )
