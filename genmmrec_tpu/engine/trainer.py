@@ -162,14 +162,10 @@ class Trainer:
         neg_rounds = self.neg_rounds
         use_neg = bool(self.config["use_neg_sampling"])
 
-        def loss_fn(params, state, batch, key):
-            total, parts = model.loss(params, state, batch, key)
-            return total, parts
+        grad_fn = jax.value_and_grad(model.loss_and_update, has_aux=True)
 
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-
-        def batch_step(state, carry, xs):
-            params, opt_state = carry
+        def batch_step(carry, xs):
+            params, opt_state, state = carry
             raw_idx, key, batch_i = xs
             k_neg, k_loss, k_loss2 = jax.random.split(key, 3)
             # raw_idx >= n_inter are padding slots: clamp to 0 and weight 0
@@ -184,7 +180,7 @@ class Trainer:
             else:  # e.g. BM3 (use_neg_sampling: False) — negatives unused
                 neg = jnp.zeros_like(pos)
             batch = {"users": users, "pos": pos, "neg": neg, "weight": weight}
-            (total, parts), grads = grad_fn(params, state, batch, k_loss)
+            (total, (parts, state)), grads = grad_fn(params, state, batch, k_loss)
 
             if mg:
                 def mirror_branch(operand):
@@ -216,24 +212,24 @@ class Trainer:
                 opt_state = new_opt
 
             parts = jnp.stack([p for p in parts])
-            return (params, opt_state), parts
+            return (params, opt_state, state), parts
 
         num_batches = self._num_batches
 
-        @partial(jax.jit, donate_argnums=(0, 1))
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
         def train_epoch(params, opt_state, state, key):
             k_perm, k_scan = jax.random.split(key)
             perm = jax.random.permutation(k_perm, n_pad)
             idxs = perm.reshape(num_batches, B)
             keys = jax.random.split(k_scan, num_batches)
             batch_ids = jnp.arange(num_batches)
-            (params, opt_state), parts = jax.lax.scan(
-                lambda c, xs: batch_step(state, c, xs),
-                (params, opt_state),
+            (params, opt_state, state), parts = jax.lax.scan(
+                batch_step,
+                (params, opt_state, state),
                 (idxs, keys, batch_ids),
             )
             totals = parts.sum(axis=0)  # summed per-part losses over batches
-            return params, opt_state, totals
+            return params, opt_state, state, totals
 
         return optimizer, train_epoch
 
@@ -293,7 +289,7 @@ class Trainer:
             self._state = pre_epoch(params, self._state, k_pre, jnp.int32(epoch_idx))
 
             if self.req_training:
-                params, opt_state, totals = train_epoch(
+                params, opt_state, self._state, totals = train_epoch(
                     params, opt_state, self._state, k_train
                 )
                 totals = np.asarray(totals)

@@ -78,6 +78,16 @@ class RecModel:
         """Full-catalog scores, shape (len(users), n_items)."""
         raise NotImplementedError
 
+    def loss_and_update(
+        self, params: Params, state: State, batch: Batch, key: jax.Array
+    ) -> Tuple[jnp.ndarray, Tuple[Tuple[jnp.ndarray, ...], State]]:
+        """Loss plus per-batch state update (e.g. importance-sampling
+        history buffers). Default: state unchanged. The trainer carries the
+        returned state through the epoch scan; gradients flow only through
+        the loss."""
+        total, parts = self.loss(params, state, batch, key)
+        return total, (parts, state)
+
     def pre_epoch(
         self, params: Params, state: State, key: jax.Array, epoch: jnp.ndarray
     ) -> State:
