@@ -148,7 +148,15 @@ class Trainer:
             self.logger.warning("Unrecognized optimizer %s; using adam", name)
             chain.append(optax.scale_by_adam())
         chain.append(optax.scale_by_schedule(lambda s: -schedule(s)))
-        return optax.chain(*chain)
+        tx = optax.chain(*chain)
+        # models with auxiliary sub-optimizers (DiffMM's denoisers) label
+        # their params; 'aux' subtrees are frozen for the main optimizer
+        if hasattr(self.model, "param_labels"):
+            tx = optax.multi_transform(
+                {"main": tx, "aux": optax.set_to_zero()},
+                self.model.param_labels,
+            )
+        return tx
 
     # ------------------------------------------------------------------
     def _build_train_step(self, td: TrainData):
@@ -216,7 +224,7 @@ class Trainer:
 
         num_batches = self._num_batches
 
-        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        @partial(jax.jit, donate_argnums=(0, 1))
         def train_epoch(params, opt_state, state, key):
             k_perm, k_scan = jax.random.split(key)
             perm = jax.random.permutation(k_perm, n_pad)
@@ -285,8 +293,11 @@ class Trainer:
         for epoch_idx in range(self.start_epoch, self.epochs):
             t0 = time()
             k_epoch = jax.random.fold_in(k_run, epoch_idx)
-            k_pre, k_train = jax.random.split(k_epoch)
+            k_pre, k_train, k_prelude = jax.random.split(k_epoch, 3)
             self._state = pre_epoch(params, self._state, k_pre, jnp.int32(epoch_idx))
+            # specialized trainers (DiffMM/GenRecV1/MVDiff) run diffusion
+            # training + graph regeneration phases here
+            params = self._epoch_prelude(params, k_prelude, epoch_idx)
 
             if self.req_training:
                 params, opt_state, self._state, totals = train_epoch(
@@ -395,6 +406,11 @@ class Trainer:
 
         self.params = params
         return self.best_valid_score, self.best_valid_result, self.best_test_upon_valid
+
+    # ------------------------------------------------------------------
+    def _epoch_prelude(self, params, key, epoch_idx):
+        """Hook for multi-phase trainers; returns possibly-updated params."""
+        return params
 
     # ------------------------------------------------------------------
     def evaluate(self, params, eval_data: EvalData, is_test: bool = False, idx: int = 0):

@@ -1,0 +1,308 @@
+"""DiffMM: modality-aware graph diffusion recommendation.
+
+Parity with reference `src/models/diffmm.py:13-485`:
+- modal feature transforms (``trans_type`` 0/1/2: matrix+leakyrelu vs
+  linear, `diffmm.py:115-127`);
+- ``forward_MM`` (`:129-169`): per-modality propagation over the main
+  normalized adjacency + regenerated modal UI graphs with
+  ``ris_adj_lambda``/``ris_lambda`` residuals and softmax modal weights;
+- ``forward_cl_MM`` (`:171-195`): two modal GCN towers for contrastive
+  views; ``contrastLoss`` (`:251-258`) InfoNCE with full-matrix denominator;
+- per-modality ``Denoise`` MLPs + embedded GaussianDiffusion with
+  linear-variance betas and β₀=1e-4 (`:362-406`), SNR-weighted diffusion MSE
+  + modal-alignment ``gc_loss`` (`:453-477`);
+- epoch-regenerated user-item graphs from reverse-diffusion top-k
+  (handled by ``DiffMMTrainer``), with ``SpAdjDropEdge`` (`:287-301`).
+
+TPU-native deltas: regenerated graphs have **static nnz** (2·U·k symmetric
+edges + N self-loops) built fully on device — the reference's nested Python
+edge loops (`src/common/trainer.py:548-562`) and scipy block assembly are a
+single top-k + segment-sum normalization; denoisers live in separate param
+subtrees trained by their own optax states (`param_labels``).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genmmrec_tpu.common.init import xavier_uniform
+from genmmrec_tpu.models.base import RecModel, scalar
+from genmmrec_tpu.models.diffusion import (
+    apply_dnn,
+    init_dnn,
+    make_schedule,
+    p_sample_loop,
+    q_sample,
+    snr,
+)
+from genmmrec_tpu.ops.graph import SparseGraph, bipartite_norm_adj, spmm
+
+
+def _l2norm(x, axis=-1, eps=1e-12):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+class DiffMM(RecModel):
+    def __init__(self, config, data):
+        super().__init__(config, data)
+        self.latdim = scalar(config["embedding_size"], int)
+        self.gnn_layer = scalar(config["n_layers"], int)
+        self.keep_rate = scalar(config["keep_rate"])
+        self.trans = scalar(config["trans_type"], int)
+        self.ris_adj_lambda = scalar(config["ris_adj_lambda"])
+        self.ris_lambda = scalar(config["ris_lambda"])
+        self.cl_method = scalar(config["cl_method"], int)
+        self.ssl_reg = scalar(config["ssl_reg"])
+        self.temp = scalar(config["temperature"])
+        self.reg_weight = scalar(config["reg_weight"])
+        self.e_loss = scalar(config["e_loss"])
+        self.steps = scalar(config["steps"], int)
+        self.sampling_steps = scalar(config["sampling_steps"] or 0, int)
+        self.sampling_noise = bool(config["sampling_noise"])
+        self.rebuild_k = scalar(config["rebuild_k"], int)
+        self.d_emb_size = scalar(config["d_emb_size"], int)
+        self.norm = bool(config["norm"])
+
+        self.norm_adj = bipartite_norm_adj(
+            np.asarray(data.users), np.asarray(data.items), self.n_users, self.n_items
+        )
+        self.sched = make_schedule(
+            "linear-var",
+            scalar(config["noise_scale"]),
+            scalar(config["noise_min"]),
+            scalar(config["noise_max"]),
+            self.steps,
+            beta_fixed_value=0.0001,
+        )
+        dims = config["dims"] if isinstance(config["dims"], list) else [config["dims"]]
+        self.out_dims = list(dims) + [self.n_items]
+        self.in_dims = self.out_dims[::-1]
+
+        self.image_feat_dim = self.v_feat.shape[1] if self.v_feat is not None else 0
+        self.text_feat_dim = self.t_feat.shape[1] if self.t_feat is not None else 0
+
+    # ------------------------------------------------------------------
+    def init_params(self, key):
+        ks = jax.random.split(key, 7)
+        rec = {
+            "uEmbeds": xavier_uniform(ks[0], (self.n_users, self.latdim)),
+            "iEmbeds": xavier_uniform(ks[1], (self.n_items, self.latdim)),
+            "modal_weight": jnp.array([0.5, 0.5]),
+        }
+        if self.trans == 1:
+            rec["image_trans"] = {
+                "w": xavier_uniform(ks[2], (self.latdim, self.image_feat_dim)),
+                "b": jnp.zeros((self.latdim,)),
+            }
+        else:
+            rec["image_trans"] = xavier_uniform(ks[2], (self.image_feat_dim, self.latdim))
+        if self.trans == 0:
+            rec["text_trans"] = xavier_uniform(ks[3], (self.text_feat_dim, self.latdim))
+        else:
+            rec["text_trans"] = {
+                "w": xavier_uniform(ks[3], (self.latdim, self.text_feat_dim)),
+                "b": jnp.zeros((self.latdim,)),
+            }
+        return {
+            "rec": rec,
+            "denoise_image": init_dnn(ks[4], self.in_dims, self.out_dims, self.d_emb_size),
+            "denoise_text": init_dnn(ks[5], self.in_dims, self.out_dims, self.d_emb_size),
+        }
+
+    def param_labels(self, params):
+        """Main optimizer trains only 'rec'; denoisers have their own Adams
+        (reference: separate ``denoise_opt_image/text``,
+        `src/common/trainer.py:414-415`)."""
+        return {
+            "rec": jax.tree_util.tree_map(lambda _: "main", params["rec"]),
+            "denoise_image": jax.tree_util.tree_map(lambda _: "aux", params["denoise_image"]),
+            "denoise_text": jax.tree_util.tree_map(lambda _: "aux", params["denoise_text"]),
+        }
+
+    # ------------------------------------------------------------------
+    def get_image_feats(self, params):
+        if self.trans in (0, 2):
+            return jax.nn.leaky_relu(self.v_feat @ params["rec"]["image_trans"], 0.2)
+        p = params["rec"]["image_trans"]
+        return self.v_feat @ p["w"].T + p["b"]
+
+    def get_text_feats(self, params):
+        if self.trans == 0:
+            return jax.nn.leaky_relu(self.t_feat @ params["rec"]["text_trans"], 0.2)
+        p = params["rec"]["text_trans"]
+        return self.t_feat @ p["w"].T + p["b"]
+
+    def _modal_graph(self, state, modality) -> SparseGraph:
+        g = state[f"{modality}_ui"]
+        N = self.n_users + self.n_items
+        return SparseGraph(
+            rows=g["rows"], cols=g["cols"], vals=g["vals"], n_rows=N, n_cols=N, sorted=False
+        )
+
+    def forward_MM(self, params, state) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        rec = params["rec"]
+        image_feats = self.get_image_feats(params)
+        text_feats = self.get_text_feats(params)
+        weight = jax.nn.softmax(rec["modal_weight"])
+        adj = self.norm_adj
+        img_adj = self._modal_graph(state, "image")
+        txt_adj = self._modal_graph(state, "text")
+
+        def modal_tower(feats, modal_adj):
+            e_adj = spmm(modal_adj, jnp.concatenate([rec["uEmbeds"], rec["iEmbeds"]]))
+            e = spmm(adj, jnp.concatenate([rec["uEmbeds"], _l2norm(feats)]))
+            e_ = spmm(adj, jnp.concatenate([e[: self.n_users], rec["iEmbeds"]]))
+            return e + e_ + self.ris_adj_lambda * e_adj
+
+        embedsImage = modal_tower(image_feats, img_adj)
+        embedsText = modal_tower(text_feats, txt_adj)
+        embedsModal = weight[0] * embedsImage + weight[1] * embedsText
+
+        embeds = embedsModal
+        acc = embeds
+        for _ in range(self.gnn_layer):
+            embeds = spmm(adj, embeds)
+            acc = acc + embeds
+        out = acc + self.ris_lambda * _l2norm(embedsModal)
+        return out[: self.n_users], out[self.n_users :]
+
+    def forward_cl_MM(self, params, state):
+        rec = params["rec"]
+        adj = self.norm_adj
+
+        def tower(feats, modal_adj):
+            e = spmm(modal_adj, jnp.concatenate([rec["uEmbeds"], _l2norm(feats)]))
+            acc = e
+            for _ in range(self.gnn_layer):
+                e = spmm(adj, e)
+                acc = acc + e
+            return acc
+
+        e1 = tower(self.get_image_feats(params), self._modal_graph(state, "image"))
+        e2 = tower(self.get_text_feats(params), self._modal_graph(state, "text"))
+        return (
+            e1[: self.n_users],
+            e1[self.n_users :],
+            e2[: self.n_users],
+            e2[self.n_users :],
+        )
+
+    # ------------------------------------------------------------------
+    def contrast_loss(self, e1, e2, nodes, weights):
+        e1 = _l2norm(e1 + 1e-8)
+        e2 = _l2norm(e2 + 1e-8)
+        p1, p2 = e1[nodes], e2[nodes]
+        nume = jnp.exp((p1 * p2).sum(-1) / self.temp)
+        deno = jnp.exp(p1 @ e2.T / self.temp).sum(-1)
+        per = -jnp.log(nume / deno)
+        return (per * weights).sum() / jnp.maximum(weights.sum(), 1.0)
+
+    def loss(self, params, state, batch, key):
+        rec = params["rec"]
+        users, pos, neg, w = batch["users"], batch["pos"], batch["neg"], batch["weight"]
+        usrEmbeds, itmEmbeds = self.forward_MM(params, state)
+        anc, posE, negE = usrEmbeds[users], itmEmbeds[pos], itmEmbeds[neg]
+        pos_s = (anc * posE).sum(1)
+        neg_s = (anc * negE).sum(1)
+        bpr = -(jnp.log(1e-10 + jax.nn.sigmoid(pos_s - neg_s)) * w).sum() / jnp.maximum(
+            w.sum(), 1.0
+        )
+        reg = (jnp.sum(rec["uEmbeds"] ** 2) + jnp.sum(rec["iEmbeds"] ** 2)) * self.reg_weight
+
+        u1, i1, u2, i2 = self.forward_cl_MM(params, state)
+        if self.cl_method == 1:
+            cl = (
+                self.contrast_loss(usrEmbeds, u1, users, w)
+                + self.contrast_loss(itmEmbeds, i1, pos, w)
+                + self.contrast_loss(usrEmbeds, u2, users, w)
+                + self.contrast_loss(itmEmbeds, i2, pos, w)
+            ) * self.ssl_reg
+        else:
+            cl = (
+                self.contrast_loss(u1, u2, users, w)
+                + self.contrast_loss(i1, i2, pos, w)
+            ) * self.ssl_reg
+        total = bpr + reg + cl
+        return total, (total,)
+
+    def scores(self, params, state, users):
+        usrEmbeds, itmEmbeds = self.forward_MM(params, state)
+        return usrEmbeds[users] @ itmEmbeds.T
+
+    # ------------------------------------------------------------------
+    # diffusion-phase pure functions (used by DiffMMTrainer)
+    def interaction_vectors(self, users: jnp.ndarray) -> jnp.ndarray:
+        B = users.shape[0]
+        h = self.data.hist[users]
+        x = jnp.zeros((B, self.n_items), jnp.float32)
+        return x.at[jnp.arange(B)[:, None], h].set(1.0, mode="drop")
+
+    def denoise_apply(self, dn_params, x, t, key=None):
+        return apply_dnn(
+            dn_params, x, t, dropout=0.5 if key is not None else 0.0, key=key, norm=self.norm
+        )
+
+    def diffusion_losses(self, dn_params, x_start, item_embeds, modal_feats, key):
+        """SNR-weighted MSE + modal alignment gc_loss (diffmm.py:453-477)."""
+        k_t, k_noise, k_drop = jax.random.split(key, 3)
+        B = x_start.shape[0]
+        ts = jax.random.randint(k_t, (B,), 0, self.steps)
+        noise = jax.random.normal(k_noise, x_start.shape)
+        x_t = q_sample(self.sched, x_start, ts, noise)
+        model_output = self.denoise_apply(dn_params, x_t, ts, key=k_drop)
+        mse = jnp.mean((x_start - model_output) ** 2, axis=1)
+        weight = jnp.where(ts == 0, 1.0, snr(self.sched, ts - 1) - snr(self.sched, ts))
+        diff_loss = weight * mse
+        usr_model_embeds = model_output @ modal_feats
+        usr_id_embeds = x_start @ item_embeds
+        gc_loss = jnp.mean((usr_model_embeds - usr_id_embeds) ** 2, axis=1)
+        return diff_loss, gc_loss
+
+    def p_sample_users(self, dn_params, x_start):
+        """Reverse-diffuse interaction vectors (no mess dropout, eval mode)."""
+        denoise = lambda x, t: self.denoise_apply(dn_params, x, t, key=None)
+        return p_sample_loop(
+            self.sched,
+            denoise,
+            x_start,
+            self.sampling_steps,
+            sampling_noise=self.sampling_noise,
+        )
+
+    def rebuild_ui_graph(self, topk_items: jnp.ndarray, key) -> dict:
+        """Static-nnz regenerated graph: symmetrized top-k UI edges + self
+        loops, sym-normalized, with keep_rate edge dropout.
+
+        Replaces buildUIMatrix + normalizeAdj + SpAdjDropEdge
+        (`src/common/trainer.py:464-485`, `diffmm.py:287-301`).
+        """
+        U, k = topk_items.shape
+        N = self.n_users + self.n_items
+        u_nodes = jnp.repeat(jnp.arange(U, dtype=jnp.int32), k)
+        i_nodes = topk_items.reshape(-1).astype(jnp.int32) + self.n_users
+        loops = jnp.arange(N, dtype=jnp.int32)
+        rows = jnp.concatenate([u_nodes, i_nodes, loops])
+        cols = jnp.concatenate([i_nodes, u_nodes, loops])
+        ones = jnp.ones(rows.shape[0], jnp.float32)
+        deg = jax.ops.segment_sum(ones, rows, num_segments=N)
+        dis = jnp.where(deg > 0, deg**-0.5, 0.0)
+        vals = dis[rows] * dis[cols]
+        if self.keep_rate < 1.0:
+            mask = jax.random.bernoulli(key, self.keep_rate, vals.shape)
+            vals = jnp.where(mask, vals / self.keep_rate, 0.0)
+        return {"rows": rows, "cols": cols, "vals": vals}
+
+    def init_state(self, key):
+        """Self-loop-only graphs until the first regeneration (the reference
+        would return zero loss if training ran before phase 2)."""
+        topk0 = jnp.zeros((self.n_users, self.rebuild_k), jnp.int32)
+        g = self.rebuild_ui_graph(topk0, key)
+        # zero out the placeholder UI edges, keep self loops
+        n_ui = 2 * self.n_users * self.rebuild_k
+        vals = g["vals"].at[:n_ui].set(0.0)
+        g = {**g, "vals": vals}
+        return {"image_ui": dict(g), "text_ui": dict(g)}

@@ -52,7 +52,10 @@ def make_schedule(
     noise_max: float,
     steps: int,
     beta_fixed: bool = True,
+    beta_fixed_value: float = 0.00001,
 ) -> GaussianSchedule:
+    """``beta_fixed_value``: DiffRec pins β₀=1e-5 (`diffrec.py:133`);
+    DiffMM's embedded GaussianDiffusion pins 1e-4 (`diffmm.py:374`)."""
     start = noise_scale * noise_min
     end = noise_scale * noise_max
     lin = np.linspace(start, end, steps, dtype=np.float64)
@@ -61,7 +64,7 @@ def make_schedule(
     else:  # "linear" and fallback
         betas = lin.copy()
     if beta_fixed:
-        betas[0] = 0.00001
+        betas[0] = beta_fixed_value
     assert (betas > 0).all() and (betas <= 1).all(), "betas out of range"
 
     alphas = 1.0 - betas

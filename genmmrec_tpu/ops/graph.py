@@ -36,11 +36,13 @@ import numpy as np
 class SparseGraph:
     """COO graph sorted by row; static nnz; value-masking for topology."""
 
-    rows: jax.Array  # (nnz,) int32, sorted ascending
+    rows: jax.Array  # (nnz,) int32, sorted ascending when `sorted`
     cols: jax.Array  # (nnz,) int32
     vals: jax.Array  # (nnz,) float32
     n_rows: int = dataclasses.field(metadata=dict(static=True))
     n_cols: int = dataclasses.field(metadata=dict(static=True))
+    # epoch-regenerated graphs have data-dependent (unsorted) rows
+    sorted: bool = dataclasses.field(default=True, metadata=dict(static=True))
 
     @property
     def nnz(self) -> int:
@@ -51,7 +53,7 @@ def spmm(g: SparseGraph, x: jnp.ndarray) -> jnp.ndarray:
     """Sparse @ dense: (n_rows, n_cols) @ (n_cols, d) -> (n_rows, d)."""
     gathered = g.vals[:, None] * x[g.cols]
     return jax.ops.segment_sum(
-        gathered, g.rows, num_segments=g.n_rows, indices_are_sorted=True
+        gathered, g.rows, num_segments=g.n_rows, indices_are_sorted=g.sorted
     )
 
 
