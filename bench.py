@@ -1,0 +1,240 @@
+"""Benchmark: DiffMM epoch+eval wall-clock at Amazon-baby scale.
+
+Prints ONE JSON line:
+    {"metric": "diffmm_baby_epoch_plus_eval_s", "value": <seconds>,
+     "unit": "s", "vs_baseline": <speedup>}
+
+The workload is the BASELINE.md north-star: one full DiffMM training epoch
+(denoiser training over all users + graph regeneration + BPR/CL epoch) plus
+one full-catalog evaluation at baby scale (19,445 users × 7,050 items),
+timed after a warm-up epoch so XLA compile time is excluded.
+
+``vs_baseline`` is measured against a reference-equivalent torch-CPU
+implementation of the same per-batch work (Denoise MLP fwd+bwd, reverse
+p_sample + top-k + the reference's Python edge loops, sparse-adj BPR batch
+fwd+bwd, full-sort eval with the reference's host bool-matrix loop), sampled
+over a few batches and extrapolated linearly. The reference publishes no
+wall-clock numbers and its GPU is unavailable here, so same-host torch-CPU
+is the only measurable baseline; the ratio is documented as such.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def run_ours(dataset: str, quick: bool):
+    import jax
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.data.arrays import build_eval_data, build_train_data
+    from genmmrec_tpu.data.dataset import RecDataset
+    from genmmrec_tpu.engine.diffusion_trainers import DiffMMTrainer
+    from genmmrec_tpu.models import get_model
+
+    config = Config(
+        "DiffMM",
+        dataset,
+        {"save_recommended_topk": False, "epochs": 2, "use_wandb": False},
+    )
+    ds = RecDataset(config)
+    train_ds, valid_ds, _ = ds.split()
+    td = build_train_data(train_ds)
+    vd = build_eval_data(valid_ds, train_ds, int(config["eval_batch_size"]))
+    model = get_model("DiffMM")(config, td)
+    trainer = DiffMMTrainer(config, model)
+
+    key = jax.random.PRNGKey(0)
+    params = model.init_params(key)
+    trainer._state = model.init_state(key)
+    _, train_epoch = trainer._build_train_step(td)
+    opt = trainer._make_optimizer()
+    opt_state = opt.init(params)
+
+    def one_epoch(params, opt_state, seed):
+        k = jax.random.PRNGKey(seed)
+        params = trainer._epoch_prelude(params, k, seed)
+        params, opt_state, trainer._state, totals = train_epoch(
+            params, opt_state, trainer._state, k
+        )
+        jax.block_until_ready(totals)
+        return params, opt_state
+
+    def one_eval(params):
+        res = trainer.evaluate(params, vd)
+        return res
+
+    # warm-up (compile)
+    params, opt_state = one_epoch(params, opt_state, 0)
+    one_eval(params)
+
+    t0 = time.time()
+    params, opt_state = one_epoch(params, opt_state, 1)
+    t_epoch = time.time() - t0
+    t0 = time.time()
+    res = one_eval(params)
+    t_eval = time.time() - t0
+    n_eval_users = vd.n_users_eval
+    return {
+        "epoch_s": t_epoch,
+        "eval_s": t_eval,
+        "eval_users_per_s": n_eval_users / t_eval,
+        "recall@20": res.get("recall@20"),
+        "n_users": td.n_users,
+        "n_items": td.n_items,
+        "n_inter": td.n_inter,
+        "n_eval_users": n_eval_users,
+        "train_batch": int(config["train_batch_size"]),
+        "eval_batch": int(config["eval_batch_size"]),
+        "steps": int(config["steps"]),
+        "dims": config["dims"],
+        "d_emb": int(config["d_emb_size"]),
+        "latdim": int(config["embedding_size"]),
+    }
+
+
+def reference_torch_cpu_estimate(stats, sample_batches: int = 2) -> float:
+    """Time reference-equivalent torch-CPU work for a few batches of each
+    DiffMM phase + eval, extrapolate to the full epoch.
+
+    Mirrors the per-batch op mix of `src/common/trainer.py:487-585` (phases)
+    and `src/common/trainer.py:369-388` + `src/utils/topk_evaluator.py`
+    (eval). CPU tensors; measured on this host.
+    """
+    import torch
+
+    torch.manual_seed(0)
+    U, I, E = stats["n_users"], stats["n_items"], stats["n_inter"]
+    B = stats["train_batch"]
+    EB = stats["eval_batch"]
+    d = stats["latdim"]
+    hid = stats["dims"][0]
+    steps = stats["steps"]
+
+    n_user_batches = -(-U // B)
+    n_train_batches = -(-E // B)
+    n_eval_batches = -(-stats["n_eval_users"] // EB)
+
+    # --- phase 1: Denoise MLP fwd+bwd on (B, I), two modalities ----------
+    class Denoise(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.l1 = torch.nn.Linear(I + stats["d_emb"], hid)
+            self.l2 = torch.nn.Linear(hid, I)
+
+        def forward(self, x, emb):
+            h = torch.tanh(self.l1(torch.cat([x, emb], -1)))
+            return self.l2(h)
+
+    dn = Denoise()
+    opt = torch.optim.Adam(dn.parameters(), lr=1e-3)
+    x = torch.rand(B, I)
+    emb = torch.rand(B, stats["d_emb"])
+    feats = torch.rand(I, d)
+    t0 = time.time()
+    for _ in range(sample_batches):
+        opt.zero_grad()
+        out = dn(x, emb)
+        mse = ((x - out) ** 2).mean()
+        gc = ((out @ feats - x @ feats) ** 2).mean()
+        (mse + gc).backward()
+        opt.step()
+    t_p1 = (time.time() - t0) / sample_batches * n_user_batches * 2  # 2 modalities
+
+    # --- phase 2: p_sample (steps × fwd) + topk + python edge loop -------
+    t0 = time.time()
+    with torch.no_grad():
+        for _ in range(sample_batches):
+            xt = x
+            for _s in range(steps):
+                xt = dn(xt, emb)
+            _, idx = torch.topk(xt, k=1)
+    t_p2_fwd = (time.time() - t0) / sample_batches * n_user_batches * 2
+    # reference edge loop: U×k python-loop appends (trainer.py:548-562)
+    t0 = time.time()
+    u_list, i_list = [], []
+    idx_np = idx.numpy()
+    for i in range(min(B, idx_np.shape[0])):
+        for j in range(idx_np.shape[1]):
+            u_list.append(int(i))
+            i_list.append(int(idx_np[i][j]))
+    t_loop = (time.time() - t0) / B * U * 2
+    t_p2 = t_p2_fwd + t_loop
+
+    # --- phase 3: sparse-adj propagation fwd+bwd per train batch ---------
+    N = U + I
+    nnz = 2 * E
+    rows = torch.randint(0, N, (nnz,))
+    cols = torch.randint(0, N, (nnz,))
+    adj = torch.sparse_coo_tensor(
+        torch.stack([rows, cols]), torch.rand(nnz), (N, N)
+    ).coalesce()
+    embeds = torch.rand(N, d, requires_grad=True)
+    t0 = time.time()
+    for _ in range(sample_batches):
+        h = embeds
+        for _l in range(6):  # forward_MM ≈6 spmm passes (diffmm.py:129-169)
+            h = torch.sparse.mm(adj, h)
+        loss = h.sum()
+        loss.backward()
+        embeds.grad = None
+    t_p3 = (time.time() - t0) / sample_batches * n_train_batches
+
+    # --- eval: full-sort GEMM + topk + host bool-matrix loop -------------
+    ue = torch.rand(EB, d)
+    ie = torch.rand(I, d)
+    t0 = time.time()
+    for _ in range(sample_batches):
+        scores = ue @ ie.T
+        _, topk_idx = torch.topk(scores, min(50, I), dim=-1)
+    t_eval_gemm = (time.time() - t0) / sample_batches * n_eval_batches
+    # reference per-user python hit loop (topk_evaluator.py:109-112)
+    topk_np = topk_idx.numpy()
+    gt = [set(np.random.randint(0, I, 10).tolist()) for _ in range(EB)]
+    t0 = time.time()
+    bool_rec = []
+    for m, n in zip(gt, topk_np):
+        bool_rec.append([True if i in m else False for i in n])
+    t_hit = (time.time() - t0) / EB * stats["n_eval_users"]
+    t_eval = t_eval_gemm + t_hit
+
+    return t_p1 + t_p2 + t_p3 + t_eval
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="baby")
+    ap.add_argument("--quick", action="store_true", help="tiny dataset sanity run")
+    args = ap.parse_args()
+
+    dataset = "tiny" if args.quick else args.dataset
+    stats = run_ours(dataset, args.quick)
+    ours = stats["epoch_s"] + stats["eval_s"]
+    try:
+        ref = reference_torch_cpu_estimate(stats)
+    except Exception as e:  # torch missing or OOM — report ratio 0
+        print(f"# reference estimate failed: {e}")
+        ref = 0.0
+    vs = (ref / ours) if ours > 0 and ref > 0 else 0.0
+    print(
+        f"# ours: epoch={stats['epoch_s']:.2f}s eval={stats['eval_s']:.2f}s "
+        f"({stats['eval_users_per_s']:.0f} users/s), torch-cpu reference est: {ref:.2f}s"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "diffmm_baby_epoch_plus_eval_s",
+                "value": round(ours, 3),
+                "unit": "s",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
