@@ -1,0 +1,174 @@
+"""Multimodal interest clustering + interest-debiased generation filtering.
+
+Parity with reference `src/common/interest_cluster.py:17-383`:
+- ``MultimodalCluster``: per-modality KMeans over standardized item features
+  with per-dataset optimal k (baby: image 6 / text 11; sports: 9 / 12;
+  defaults 18 / 59), optional auto-k via inertia second differences, and a
+  spectral fusion clustering variant;
+- ``InterestDebiase``: of the entries the generator flipped, a
+  ``sample_ratio`` subset is re-examined — 0→1 flips survive only if the
+  item's cluster is in the user's interacted-cluster set (image OR text);
+  1→0 flips are accepted only when the user's frequency for that cluster is
+  ≤ min_freq+1 (rare-cluster interactions treated as accidental clicks).
+
+TPU-native deltas: clustering runs once on host at trainer init (sklearn);
+the debias *decision tables* are precomputed as dense per-user boolean /
+count arrays so the per-batch filtering (reference: Python loops over
+sampled pairs, `interest_cluster.py:240-331`) is a fully vectorized jnp
+transform over the (B, n_items) generated matrix.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# per-dataset optimal cluster counts (reference trainer.py:632-648)
+OPTIMAL_K = {
+    "tiktok": {"image": 18, "text": 59, "audio": 46},
+    "baby": {"image": 6, "text": 11},
+    "sports": {"image": 9, "text": 12},
+}
+DEFAULT_K = {"image": 18, "text": 59, "audio": 46}
+
+
+class MultimodalCluster:
+    def __init__(
+        self,
+        kmeans_cluster_num: int = 20,
+        spectral_cluster_num: int = 20,
+        sim_top_k: int = 20,
+        use_auto_optimal_k: bool = False,
+        kmeans_cluster_num_min: int = 3,
+        kmeans_cluster_num_max: int = 237,
+        kmeans_stride: int = 10,
+        seed: int = 0,
+    ):
+        self.kmeans_cluster_num = kmeans_cluster_num
+        self.spectral_cluster_num = spectral_cluster_num
+        self.sim_top_k = sim_top_k
+        self.use_auto_optimal_k = use_auto_optimal_k
+        self.k_min = kmeans_cluster_num_min
+        self.k_max = kmeans_cluster_num_max
+        self.stride = kmeans_stride
+        self.seed = seed
+
+    def _standardize(self, feats: np.ndarray) -> np.ndarray:
+        mu = feats.mean(axis=0, keepdims=True)
+        sd = feats.std(axis=0, keepdims=True)
+        return (feats - mu) / np.maximum(sd, 1e-12)
+
+    def multimodal_specific_cluster(
+        self, features, modality: str, optimal_cluster_num: int
+    ) -> np.ndarray:
+        from sklearn.cluster import KMeans
+
+        feats = self._standardize(np.asarray(features, np.float64))
+        k = (
+            self.get_kmeans_cluster_optimal_num(feats)
+            if self.use_auto_optimal_k
+            else optimal_cluster_num
+        )
+        k = max(2, min(int(k), feats.shape[0]))
+        return KMeans(n_clusters=k, random_state=self.seed, n_init=10).fit(feats).labels_
+
+    def get_kmeans_cluster_optimal_num(self, feats: np.ndarray) -> int:
+        from sklearn.cluster import KMeans
+
+        distortions = []
+        for i in range(self.k_min, min(self.k_max, feats.shape[0]), self.stride):
+            distortions.append(
+                KMeans(n_clusters=i, random_state=self.seed, n_init=3)
+                .fit(feats)
+                .inertia_
+            )
+        diff2 = np.diff(np.diff(distortions))
+        return int(np.argmin(diff2)) + self.k_min + 1
+
+    def multimodal_fusion_cluster(self, fusion_feats) -> np.ndarray:
+        from sklearn.cluster import SpectralClustering
+
+        f = np.asarray(fusion_feats, np.float64)
+        fn = f / np.maximum(np.linalg.norm(f, axis=1, keepdims=True), 1e-12)
+        sim = fn @ fn.T
+        n = sim.shape[0]
+        for i in range(n):  # keep top-k per row (reference sparsification)
+            idx = np.argpartition(sim[i], -self.sim_top_k)[-self.sim_top_k :]
+            mask = np.ones(n, bool)
+            mask[idx] = False
+            sim[i, mask] = 0
+        sim = np.maximum(sim, sim.T)
+        k = min(self.spectral_cluster_num, n - 1)
+        return SpectralClustering(
+            n_clusters=k, affinity="precomputed", random_state=self.seed
+        ).fit_predict(sim)
+
+
+# ----------------------------------------------------------------------
+def build_debias_tables(
+    train_users: np.ndarray,
+    train_items: np.ndarray,
+    n_users: int,
+    image_labels: np.ndarray,
+    text_labels: np.ndarray,
+):
+    """Precompute per-user cluster membership/counts for vectorized debias.
+
+    Returns a dict of device arrays:
+      img_member (U, Ki) bool, txt_member (U, Kt) bool,
+      txt_counts (U, Kt) float, txt_minfreq (U,) float,
+      img_labels (I,), txt_labels (I,)
+    """
+    Ki = int(image_labels.max()) + 1
+    Kt = int(text_labels.max()) + 1
+    img_member = np.zeros((n_users, Ki), bool)
+    txt_member = np.zeros((n_users, Kt), bool)
+    txt_counts = np.zeros((n_users, Kt), np.float32)
+    np.logical_or.at(img_member, (train_users, image_labels[train_items]), True)
+    np.logical_or.at(txt_member, (train_users, text_labels[train_items]), True)
+    np.add.at(txt_counts, (train_users, text_labels[train_items]), 1.0)
+    with np.errstate(invalid="ignore"):
+        masked = np.where(txt_counts > 0, txt_counts, np.inf)
+        minfreq = masked.min(axis=1)
+        minfreq = np.where(np.isfinite(minfreq), minfreq, 0.0)
+    return {
+        "img_member": jnp.asarray(img_member),
+        "txt_member": jnp.asarray(txt_member),
+        "txt_counts": jnp.asarray(txt_counts),
+        "txt_minfreq": jnp.asarray(minfreq.astype(np.float32)),
+        "img_labels": jnp.asarray(image_labels.astype(np.int32)),
+        "txt_labels": jnp.asarray(text_labels.astype(np.int32)),
+    }
+
+
+def interest_debias(
+    key: jax.Array,
+    users: jnp.ndarray,  # (B,) user ids of the batch rows
+    origin: jnp.ndarray,  # (B, I) original interactions
+    generated: jnp.ndarray,  # (B, I) generated interactions
+    tables: Dict[str, jnp.ndarray],
+    sample_ratio: float,
+) -> jnp.ndarray:
+    """Vectorized InterestDebiase.interest_query_debiase."""
+    B, I = origin.shape
+    flip01 = generated > origin
+    flip10 = origin > generated
+    sampled = jax.random.bernoulli(key, sample_ratio, (B, I))
+
+    img_lab = tables["img_labels"][None, :].repeat(B, 0)  # (B, I)
+    txt_lab = tables["txt_labels"][None, :].repeat(B, 0)
+    img_ok = jnp.take_along_axis(tables["img_member"][users], img_lab, axis=1)
+    txt_ok = jnp.take_along_axis(tables["txt_member"][users], txt_lab, axis=1)
+    keep01 = (img_ok | txt_ok).astype(generated.dtype)
+
+    freq = jnp.take_along_axis(tables["txt_counts"][users], txt_lab, axis=1)
+    minf = tables["txt_minfreq"][users][:, None]
+    # accept removal (stay 0) when the cluster was rarely interacted
+    keep10 = jnp.where(freq <= minf + 1.0, 0.0, 1.0).astype(generated.dtype)
+
+    out = jnp.where(flip01 & sampled, keep01, generated)
+    out = jnp.where(flip10 & sampled, keep10, out)
+    return out
