@@ -18,6 +18,9 @@ MODELS = [
     "LayerGCN",
     "SELFCFED_LGN",
     "ItemKNNCBF",
+    "MMGCN",
+    "MGCN",
+    "LGMRec",
 ]
 
 
