@@ -149,13 +149,16 @@ class Trainer:
             chain.append(optax.scale_by_adam())
         chain.append(optax.scale_by_schedule(lambda s: -schedule(s)))
         tx = optax.chain(*chain)
-        # models with auxiliary sub-optimizers (DiffMM's denoisers) label
-        # their params; 'aux' subtrees are frozen for the main optimizer
+        # models with auxiliary sub-optimizers label their params:
+        #   'aux' — frozen for the main optimizer (trained in separate
+        #           phases, e.g. DiffMM's denoisers);
+        #   others — model-provided transforms (e.g. the RF module's
+        #           embedded AdamW, reference rf_modules.py:607-611).
         if hasattr(self.model, "param_labels"):
-            tx = optax.multi_transform(
-                {"main": tx, "aux": optax.set_to_zero()},
-                self.model.param_labels,
-            )
+            transforms = {"main": tx, "aux": optax.set_to_zero()}
+            if hasattr(self.model, "label_transforms"):
+                transforms.update(self.model.label_transforms())
+            tx = optax.multi_transform(transforms, self.model.param_labels)
         return tx
 
     # ------------------------------------------------------------------

@@ -142,7 +142,7 @@ class GUME(RecModel):
             x = spmm(adj, x)
         return x
 
-    def forward(self, params, train=False):
+    def forward(self, params, train=False, extended_id_override=None):
         p = params
         img_space = jax.nn.sigmoid(
             self._lin(p["image_trans"], self._lin(p["image_reduce"], self.v_feat))
@@ -154,6 +154,8 @@ class GUME(RecModel):
         text_item = p["item_id_embedding"] * txt_space
 
         extended_id = self._conv_ui(self.norm_adj, p["user_embedding"], p["item_id_embedding"])
+        if extended_id_override is not None:  # RF-mixed embeddings (RFGUME)
+            extended_id = extended_id_override
 
         exp_img_item = self._conv_ii(self.image_original_adj, image_item)
         exp_img_user = spmm(self.R, exp_img_item)
