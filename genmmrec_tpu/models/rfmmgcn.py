@@ -1,0 +1,23 @@
+"""RFMMGCN: MMGCN + RF enhancement (reference `src/models/rfmmgcn.py`).
+
+Conditions use the raw modal item features (MMGCN has no shared projection
+to the embedding space outside its towers).
+"""
+
+from __future__ import annotations
+
+from genmmrec_tpu.models.mmgcn import MMGCN
+from genmmrec_tpu.models.rf_host import RFHostMixin
+
+
+class RFMMGCN(RFHostMixin, MMGCN):
+    def __init__(self, config, data):
+        super().__init__(config, data)
+        self._rf_setup(config, self.dim_x)
+        self._rf_condition_dim = self.v_feat.shape[1] + self.t_feat.shape[1]
+
+    def rf_host_repr(self, params, state):
+        return self.forward(params)
+
+    def rf_condition_feats(self, params):
+        return [self.v_feat, self.t_feat]

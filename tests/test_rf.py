@@ -70,7 +70,23 @@ def test_rf_generate_shapes_and_determinism():
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z1b), rtol=1e-5)
 
 
-@pytest.mark.parametrize("name", ["RFGUME", "RFMRec"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "RFGUME",
+        "RFMRec",
+        "RFBM3",
+        "RFFREEDOM",
+        "RFLATTICE",
+        "RFMGCN",
+        "RFMMGCN",
+        "RFVBPR",
+        "RFLGMRec",
+        "RFBPR_remove",
+        "RFLightGCN_remove",
+        "RFLayerGCN_remove",
+    ],
+)
 def test_rf_model_contract(tiny_td, name):
     from genmmrec_tpu.config import Config
     from genmmrec_tpu.models import get_model
