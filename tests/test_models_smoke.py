@@ -21,6 +21,8 @@ MODELS = [
     "MMGCN",
     "MGCN",
     "LGMRec",
+    "GRCN",
+    "DualGNN",
 ]
 
 
