@@ -23,6 +23,8 @@ MODELS = [
     "LGMRec",
     "GRCN",
     "DualGNN",
+    "SMORE",
+    "PGL",
 ]
 
 
