@@ -25,6 +25,8 @@ MODELS = [
     "DualGNN",
     "SMORE",
     "PGL",
+    "DRAGON",
+    "COHESION",
 ]
 
 
