@@ -27,6 +27,9 @@ MODELS = [
     "PGL",
     "DRAGON",
     "COHESION",
+    "SLMRec",
+    "MVGAE",
+    "DAMRS",
 ]
 
 
