@@ -1,0 +1,19 @@
+"""RFDualGNN: DualGNN + RF enhancement (reference `src/models/rfdualgnn.py`)."""
+
+from __future__ import annotations
+
+from genmmrec_tpu.models.dualgnn import DualGNN
+from genmmrec_tpu.models.rf_host import RFHostMixin
+
+
+class RFDualGNN(RFHostMixin, DualGNN):
+    def __init__(self, config, data):
+        super().__init__(config, data)
+        self._rf_setup(config, self.dim_latent)
+        self._rf_condition_dim = self.v_feat.shape[1] + self.t_feat.shape[1]
+
+    def rf_host_repr(self, params, state):
+        return self.forward(params)
+
+    def rf_condition_feats(self, params):
+        return [self.v_feat, self.t_feat]

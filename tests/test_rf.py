@@ -85,6 +85,11 @@ def test_rf_generate_shapes_and_determinism():
         "RFBPR_remove",
         "RFLightGCN_remove",
         "RFLayerGCN_remove",
+        "RFDualGNN",
+        "RFGRCN",
+        "RFCOHESION",
+        "RFSMORE",
+        "RFPGL",
     ],
 )
 def test_rf_model_contract(tiny_td, name):
