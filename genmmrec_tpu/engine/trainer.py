@@ -252,14 +252,23 @@ class Trainer:
         n_items = self.model.n_items
         k_eff = min(max_k, n_items)
 
+        # models with expensive user-independent eval computation (CoDMR's
+        # two-stage p_sample, DiffGraph's denoising) provide eval_artifacts
+        # computed ONCE per evaluation instead of per user-chunk
+        has_cache = hasattr(model, "eval_artifacts")
+
         @partial(jax.jit, static_argnames=("n_chunks",))
         def eval_topk(params, state, users, mask_items, n_chunks):
             users_c = users.reshape(n_chunks, B)
             mask_c = mask_items.reshape(n_chunks, B, -1)
+            arts = model.eval_artifacts(params, state) if has_cache else None
 
             def one(args):
                 u, m = args
-                scores = model.scores(params, state, u)
+                if has_cache:
+                    scores = model.scores_cached(params, state, u, arts)
+                else:
+                    scores = model.scores(params, state, u)
                 # scatter -inf over train positives; sentinel col n_items drops
                 rows = jnp.arange(u.shape[0])[:, None]
                 scores = scores.at[rows, m].set(-1e10, mode="drop")

@@ -18,7 +18,9 @@ def tiny_td():
     return train_ds, valid_ds, build_train_data(train_ds)
 
 
-@pytest.mark.parametrize("name", ["DDRM", "MCDRec", "LD4MRec", "DiffGraph", "GenRecBM3"])
+@pytest.mark.parametrize(
+    "name", ["DDRM", "MCDRec", "LD4MRec", "DiffGraph", "GenRecBM3", "CoDMR"]
+)
 def test_gen_model_contract(tiny_td, name):
     from genmmrec_tpu.config import Config
     from genmmrec_tpu.models import get_model
