@@ -86,6 +86,8 @@ def build_train_data(train_ds: RecDataset) -> TrainData:
     items = np.asarray(train_ds.table.items, np.int32)
     n_users, n_items = train_ds.user_num, train_ds.item_num
     hist, hist_len = _pad_group_matrix(users, items, n_users, pad_value=n_items)
+    hist = np.sort(hist, axis=1)  # sorted rows (pad n_items last) for the
+    # exact order-statistics fallback in sample_negatives
     pool = np.unique(items).astype(np.int32)
     n_pool = len(pool)
     # pad pool length to a multiple of 128 (lane width) by cycling entries:
@@ -156,20 +158,23 @@ def sample_negatives(
     hist: jax.Array,
     item_pool: jax.Array,
     n_pool: int,
-    rounds: int = 8,
+    rounds: int = 4,
 ) -> jax.Array:
     """Vectorized negative sampling against padded user histories.
 
     TPU-native replacement for the reference's per-interaction Python
-    rejection loop (`src/utils/dataloader.py:267-275`): draw a uniform
-    candidate from the train item pool for every row, test membership against
-    the user's padded history on the VPU, and redraw (fixed ``rounds``
-    iterations) only where the candidate collided. With ≥99.8% sparsity the
-    collision probability per round is <0.2%, so eight rounds drive the
-    failure probability below 1e-21.
+    rejection loop (`src/utils/dataloader.py:267-275`), in two stages:
+
+    1. ``rounds`` cheap resampling passes: draw uniformly from the train
+       item pool, redraw rows whose candidate is in the user's history.
+       With ≥99.8% sparsity a single round almost always succeeds.
+    2. An **exact** order-statistics fallback for any still-colliding row
+       (possible for users who interacted with most of a tiny catalog):
+       sample j ~ U[0, n_free) and binary-search the j-th pool item not in
+       the user's (sorted) history — exactly uniform over valid negatives.
     """
     B = users.shape[0]
-    user_hist = hist[users]  # (B, max_hist)
+    user_hist = hist[users]  # (B, max_hist), rows sorted, pad = n_items
 
     def draw(k):
         idx = jax.random.randint(k, (B,), 0, n_pool)
@@ -181,7 +186,31 @@ def sample_negatives(
         fresh = draw(k)
         return jnp.where(collide, fresh, neg), None
 
-    keys = jax.random.split(key, rounds + 1)
+    keys = jax.random.split(key, rounds + 2)
     neg0 = draw(keys[0])
-    neg, _ = jax.lax.scan(body, neg0, keys[1:])
-    return neg
+    neg, _ = jax.lax.scan(body, neg0, keys[1 : rounds + 1])
+
+    # exact fallback: j-th pool item not in history, via binary search.
+    # hist pads with n_items, which is > every pool item id.
+    valid_hist = user_hist <= jnp.max(item_pool)
+    hist_len = valid_hist.sum(axis=1)
+    n_free = jnp.maximum(n_pool - hist_len, 1)
+    j = (jax.random.uniform(keys[-1], (B,)) * n_free).astype(jnp.int32)
+
+    def count_le(x):
+        """per-row count of history entries <= x (x: (B,))."""
+        return (jnp.where(valid_hist, user_hist, jnp.iinfo(jnp.int32).max) <= x[:, None]).sum(axis=1)
+
+    lo = jnp.zeros((B,), jnp.int32)
+    hi = jnp.full((B,), n_pool - 1, jnp.int32)
+    n_iters = int(np.ceil(np.log2(max(n_pool, 2)))) + 1
+    for _ in range(n_iters):
+        mid = (lo + hi) // 2
+        free = mid + 1 - count_le(item_pool[mid])
+        pred = free > j
+        hi = jnp.where(pred, mid, hi)
+        lo = jnp.where(pred, lo, mid + 1)
+    exact = item_pool[lo]
+
+    collide = jnp.any(user_hist == neg[:, None], axis=1)
+    return jnp.where(collide, exact, neg)
