@@ -286,4 +286,208 @@ class GenRecV1Trainer(Trainer):
 
 
 class MVDiffTrainer(Trainer):
-    """Filled in alongside the MVDiff model (round-1 WIP)."""
+    """MVDiff 5-phase trainer (reference `trainer.py:822-1202`):
+
+    1. multimodal **feature** diffusion training (both feature denoisers);
+    2. regenerate denoised modal features (+ original), rebuild the dense
+       and sparse item-item graphs and the fusion graph;
+    3. user-item **sparsity** diffusion training (per-modality interaction
+       denoisers with the sparsity-adaptive schedule);
+    4. rebuild the user-item graphs: text = top-``rebuild_k``; image expands
+       interest items by high-order multimodal similarity and takes
+       ``rebuild_k + high_order_topk`` edges per user;
+    5. the standard BPR/CL epoch.
+
+    TPU-native: every phase is a jitted scan/map with static shapes; the
+    reference's per-user host loops become batched gathers + top-k."""
+
+    def __init__(self, config, model, mg: bool = False):
+        super().__init__(config, model, mg)
+        self._mv_built = False
+
+    def _build_phases(self):
+        if self._mv_built:
+            return
+        model = self.model
+        B = self.train_batch_size
+        U = model.n_users
+        I = model.n_items
+        self._n_user_batches = -(-U // B)
+        U_pad = self._n_user_batches * B
+        self._n_item_batches = -(-I // B)
+        I_pad = self._n_item_batches * B
+        self._feat_opt = optax.adam(self.learning_rate)
+        self._ui_opt = optax.adam(self.learning_rate)
+
+        # ---- phase 1: feature diffusion training ----------------------
+        def feat_batch(carry, xs):
+            p_img, p_txt, oi, ot = carry
+            idx, key = xs
+            k1, k2 = jax.random.split(key)
+            valid = (idx < I).astype(jnp.float32)
+            ii = jnp.minimum(idx, I - 1)
+            x_img = model.v_feat[ii]
+            x_txt = model.t_feat[ii]
+
+            def li(p):
+                per = model.feat_diffusion_loss(p, x_img, x_txt, x_img, k1)
+                return (per * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+
+            def lt(p):
+                per = model.feat_diffusion_loss(p, x_img, x_txt, x_txt, k2)
+                return (per * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+
+            lv, gi = jax.value_and_grad(li)(p_img)
+            lw, gt = jax.value_and_grad(lt)(p_txt)
+            u1, oi = self._feat_opt.update(gi, oi, p_img)
+            p_img = optax.apply_updates(p_img, u1)
+            u2, ot = self._feat_opt.update(gt, ot, p_txt)
+            p_txt = optax.apply_updates(p_txt, u2)
+            return (p_img, p_txt, oi, ot), (lv, lw)
+
+        @jax.jit
+        def feat_epoch(params, oi, ot, key):
+            k_perm, k_scan = jax.random.split(key)
+            perm = jax.random.permutation(k_perm, I_pad).reshape(
+                self._n_item_batches, B
+            ).astype(jnp.int32)
+            keys = jax.random.split(k_scan, self._n_item_batches)
+            carry = (params["feat_denoise_image"], params["feat_denoise_text"], oi, ot)
+            carry, (li, lt) = jax.lax.scan(feat_batch, carry, (perm, keys))
+            params = {
+                **params,
+                "feat_denoise_image": carry[0],
+                "feat_denoise_text": carry[1],
+            }
+            return params, carry[2], carry[3], li.sum(), lt.sum()
+
+        # ---- phase 2: regenerate features + II graphs -----------------
+        @jax.jit
+        def regen_ii(params):
+            den_img = model.feat_p_sample(
+                params["feat_denoise_image"], model.v_feat, model.t_feat, "image"
+            ) + model.v_feat
+            den_txt = model.feat_p_sample(
+                params["feat_denoise_text"], model.v_feat, model.t_feat, "text"
+            ) + model.t_feat
+            img_dense, img_sp = model.build_ii_graph(den_img)
+            txt_dense, txt_sp = model.build_ii_graph(den_txt)
+            _, img_o = model.build_ii_graph(model.v_feat)
+            _, txt_o = model.build_ii_graph(model.t_feat)
+            cat = lambda a, b: {k: jnp.concatenate([a[k], b[k]]) for k in a}
+            return {
+                "image_ii": cat(img_sp, img_o),
+                "text_ii": cat(txt_sp, txt_o),
+                "fusion_ii": cat(img_sp, txt_sp),
+                "image_ii_dense": img_dense,
+                "text_ii_dense": txt_dense,
+            }
+
+        # ---- phase 3: sparsity diffusion training ---------------------
+        def ui_batch(carry, xs):
+            dn_i, dn_t, oi, ot, i_emb, img_f, txt_f = carry
+            users, key = xs
+            k1, k2 = jax.random.split(key)
+            valid = (users < U).astype(jnp.float32)
+            x = model.interaction_vectors(jnp.minimum(users, U - 1)) * valid[:, None]
+
+            def lf(dn, feats, k):
+                diff, gc, contra = model.sparsity_losses(dn, x, i_emb, feats, k)
+                dmean = lambda v: (v * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+                return dmean(diff) + model.e_loss * dmean(gc) + model.ssl_reg * dmean(contra)
+
+            li, gi = jax.value_and_grad(lambda d: lf(d, img_f, k1))(dn_i)
+            lt, gt = jax.value_and_grad(lambda d: lf(d, txt_f, k2))(dn_t)
+            u1, oi = self._ui_opt.update(gi, oi, dn_i)
+            dn_i = optax.apply_updates(dn_i, u1)
+            u2, ot = self._ui_opt.update(gt, ot, dn_t)
+            dn_t = optax.apply_updates(dn_t, u2)
+            return (dn_i, dn_t, oi, ot, i_emb, img_f, txt_f), (li, lt)
+
+        @jax.jit
+        def ui_epoch(params, oi, ot, key):
+            k_perm, k_scan = jax.random.split(key)
+            perm = jax.random.permutation(k_perm, U_pad).reshape(
+                self._n_user_batches, B
+            ).astype(jnp.int32)
+            keys = jax.random.split(k_scan, self._n_user_batches)
+            sg = jax.lax.stop_gradient
+            i_emb = sg(params["rec"]["item_id_embedding"])
+            img_f = sg(model.get_image_feats(params))
+            txt_f = sg(model.get_text_feats(params))
+            carry = (params["denoise_image"], params["denoise_text"], oi, ot, i_emb, img_f, txt_f)
+            carry, (li, lt) = jax.lax.scan(ui_batch, carry, (perm, keys))
+            params = {**params, "denoise_image": carry[0], "denoise_text": carry[1]}
+            return params, carry[2], carry[3], li.sum(), lt.sum()
+
+        # ---- phase 4: rebuild UI graphs -------------------------------
+        @jax.jit
+        def regen_ui(params, state, key):
+            k_img, k_txt = jax.random.split(key)
+            users = jnp.arange(U_pad, dtype=jnp.int32).reshape(self._n_user_batches, B)
+            rk = model.rebuild_k
+            hk = rk + model.high_order_topk
+
+            def img_topk(u):
+                x = model.interaction_vectors(jnp.minimum(u, U - 1))
+                den = model.sparsity_p_sample(params["denoise_image"], x)
+                _, interest = jax.lax.top_k(den, rk)  # (B, rk)
+                # high-order multimodal expansion (trainer.py:1046-1062)
+                sim = (
+                    state["image_ii_dense"][interest]
+                    * state["text_ii_dense"][interest]
+                )  # (B, rk, I)
+                probs, idx = jax.lax.top_k(sim, rk)  # (B, rk, rk)
+                flat_p = probs.reshape(x.shape[0], -1)
+                flat_i = idx.reshape(x.shape[0], -1)
+                _, sel = jax.lax.top_k(flat_p, hk)
+                return jnp.take_along_axis(flat_i, sel, axis=1)  # (B, hk)
+
+            def txt_topk(u):
+                x = model.interaction_vectors(jnp.minimum(u, U - 1))
+                den = model.sparsity_p_sample(params["denoise_text"], x)
+                _, idx = jax.lax.top_k(den, rk)
+                return idx
+
+            img_items = jax.lax.map(img_topk, users).reshape(U_pad, hk)[:U]
+            txt_items = jax.lax.map(txt_topk, users).reshape(U_pad, rk)[:U]
+            return {
+                "image_ui": model.rebuild_ui_graph(img_items, k_img),
+                "text_ui": model.rebuild_ui_graph(txt_items, k_txt),
+            }
+
+        self._feat_epoch = feat_epoch
+        self._regen_ii = regen_ii
+        self._ui_epoch = ui_epoch
+        self._regen_ui = regen_ui
+        self._mv_built = True
+
+    def _epoch_prelude(self, params, key, epoch_idx):
+        self._build_phases()
+        if not hasattr(self, "_feat_oi"):
+            self._feat_oi = self._feat_opt.init(params["feat_denoise_image"])
+            self._feat_ot = self._feat_opt.init(params["feat_denoise_text"])
+            self._ui_oi = self._ui_opt.init(params["denoise_image"])
+            self._ui_ot = self._ui_opt.init(params["denoise_text"])
+        k1, k2, k3 = jax.random.split(key, 3)
+        t0 = time()
+        params, self._feat_oi, self._feat_ot, fli, flt = self._feat_epoch(
+            params, self._feat_oi, self._feat_ot, k1
+        )
+        ii = self._regen_ii(params)
+        self._state = {**self._state, **ii}
+        params, self._ui_oi, self._ui_ot, uli, ult = self._ui_epoch(
+            params, self._ui_oi, self._ui_ot, k2
+        )
+        ui = self._regen_ui(params, self._state, k3)
+        self._state = {**self._state, **ui}
+        getLogger().info(
+            "MVDiff Losses - Feature Diffusion: Image=%.4f, Text=%.4f; "
+            "Interaction Diffusion: Image=%.4f, Text=%.4f [%.2fs]",
+            float(fli) / max(1, self._n_item_batches),
+            float(flt) / max(1, self._n_item_batches),
+            float(uli) / max(1, self._n_user_batches),
+            float(ult) / max(1, self._n_user_batches),
+            time() - t0,
+        )
+        return params
