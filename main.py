@@ -11,9 +11,18 @@ if __name__ == "__main__":
     parser.add_argument("--dataset", "-d", type=str, default="baby", help="name of datasets")
     parser.add_argument("--mg", action="store_true", help="mirror-gradient training")
     parser.add_argument("--epochs", type=int, default=None, help="override epoch count")
+    parser.add_argument(
+        "--config-json", type=str, default=None,
+        help="path to a JSON dict of config overrides (harness use)",
+    )
     args, _ = parser.parse_known_args()
 
     config_dict = {}
+    if args.config_json:
+        import json
+
+        with open(args.config_json) as f:
+            config_dict.update(json.load(f))
     quick_start(
         model=args.model,
         dataset=args.dataset,
