@@ -30,9 +30,18 @@ from genmmrec_tpu.data.dataset import RecDataset
 
 
 def _pad_group_matrix(
-    ids: np.ndarray, values: np.ndarray, n_rows: int, pad_value: int
+    ids: np.ndarray, values: np.ndarray, n_rows: int, pad_value: int, sort_rows=False
 ):
     """Group ``values`` by ``ids`` into a dense (n_rows, max_len) matrix."""
+    if sort_rows:  # native fast path returns sorted rows
+        try:
+            from genmmrec_tpu import native
+
+            out = native.padded_history(ids, values, n_rows, pad_value)
+            if out is not None:
+                return out
+        except Exception:
+            pass
     order = np.argsort(ids, kind="stable")
     ids_s, vals_s = ids[order], values[order]
     counts = np.bincount(ids_s, minlength=n_rows)
@@ -43,6 +52,8 @@ def _pad_group_matrix(
     np.cumsum(counts, out=starts[1:])
     pos = np.arange(len(ids_s)) - starts[ids_s]
     out[ids_s, pos] = vals_s
+    if sort_rows:
+        out = np.sort(out, axis=1)
     return out, counts.astype(np.int32)
 
 
@@ -85,9 +96,11 @@ def build_train_data(train_ds: RecDataset) -> TrainData:
     users = np.asarray(train_ds.table.users, np.int32)
     items = np.asarray(train_ds.table.items, np.int32)
     n_users, n_items = train_ds.user_num, train_ds.item_num
-    hist, hist_len = _pad_group_matrix(users, items, n_users, pad_value=n_items)
-    hist = np.sort(hist, axis=1)  # sorted rows (pad n_items last) for the
-    # exact order-statistics fallback in sample_negatives
+    # sorted rows (pad n_items last) — required by the exact
+    # order-statistics fallback in sample_negatives
+    hist, hist_len = _pad_group_matrix(
+        users, items, n_users, pad_value=n_items, sort_rows=True
+    )
     pool = np.unique(items).astype(np.int32)
     n_pool = len(pool)
     # pad pool length to a multiple of 128 (lane width) by cycling entries:

@@ -79,9 +79,30 @@ class RecDataset:
 
     # ------------------------------------------------------------------
     def _load_inter(self, inter_file: str) -> None:
-        import pandas as pd
-
         rating_field = self.config["RATING_FIELD"]
+        # fast path: native C++ TSV parser (genmmrec_tpu/native)
+        try:
+            from genmmrec_tpu import native
+
+            with open(inter_file, "r") as f:
+                header = f.readline().rstrip("\n").split(
+                    self.config["field_separator"] or "\t"
+                )
+            out = native.parse_inter_tsv(
+                inter_file, header, self.uid_field, self.iid_field,
+                self.splitting_label, rating_field,
+            )
+            if out is not None:
+                users, items, labels, ratings = out
+                self.table = InterTable(
+                    users=users, items=items, n_users=0, n_items=0, ratings=ratings
+                )
+                self.labels = labels
+                return
+        except Exception:
+            self.logger.debug("native TSV parse unavailable; using pandas")
+
+        import pandas as pd
         cols = [self.uid_field, self.iid_field, self.splitting_label]
         if rating_field:
             cols.append(rating_field)

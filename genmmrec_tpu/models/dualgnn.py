@@ -94,17 +94,29 @@ class DualGNN(RecModel):
                 nbrs[u] = ns
                 wts[u] = ws
         else:  # derive from co-occurrence counts (preprocessing equivalent)
-            R = np.zeros((U, self.n_items), np.float32)
-            np.add.at(R, (users, items), 1.0)
-            block = 2048
-            for s in range(0, U, block):
-                co = R[s : s + block] @ R.T  # (b, U)
-                for bi in range(co.shape[0]):
-                    co[bi, s + bi] = 0.0
-                idx = np.argpartition(-co, min(k, U - 1) - 1, axis=1)[:, :k]
-                val = np.take_along_axis(co, idx, axis=1)
-                nbrs[s : s + block] = idx
-                wts[s : s + block] = np.where(val > 0, val, -np.inf)
+            native_out = None
+            try:
+                from genmmrec_tpu import native
+
+                native_out = native.cooccur_topk(users, items, U, self.n_items, k)
+            except Exception:
+                native_out = None
+            if native_out is not None:
+                nb, w0 = native_out
+                nbrs = nb.astype(np.int64)
+                wts = np.where(w0 > 0, w0.astype(np.float64), -np.inf)
+            else:
+                R = np.zeros((U, self.n_items), np.float32)
+                np.add.at(R, (users, items), 1.0)
+                block = 2048
+                for s in range(0, U, block):
+                    co = R[s : s + block] @ R.T  # (b, U)
+                    for bi in range(co.shape[0]):
+                        co[bi, s + bi] = 0.0
+                    idx = np.argpartition(-co, min(k, U - 1) - 1, axis=1)[:, :k]
+                    val = np.take_along_axis(co, idx, axis=1)
+                    nbrs[s : s + block] = idx
+                    wts[s : s + block] = np.where(val > 0, val, -np.inf)
         # softmax with empty rows -> zero weights
         m = wts.max(axis=1, keepdims=True)
         has = np.isfinite(m)[:, 0]
