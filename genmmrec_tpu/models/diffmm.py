@@ -39,7 +39,7 @@ from genmmrec_tpu.models.diffusion import (
     q_sample,
     snr,
 )
-from genmmrec_tpu.ops.graph import SparseGraph, bipartite_norm_adj, spmm
+from genmmrec_tpu.ops.graph import SparseGraph, bipartite_norm_adj, spmm, spmm_multi
 
 
 def _l2norm(x, axis=-1, eps=1e-12):
@@ -152,14 +152,27 @@ class DiffMM(RecModel):
         img_adj = self._modal_graph(state, "image")
         txt_adj = self._modal_graph(state, "text")
 
-        def modal_tower(feats, modal_adj):
-            e_adj = spmm(modal_adj, jnp.concatenate([rec["uEmbeds"], rec["iEmbeds"]]))
-            e = spmm(adj, jnp.concatenate([rec["uEmbeds"], _l2norm(feats)]))
-            e_ = spmm(adj, jnp.concatenate([e[: self.n_users], rec["iEmbeds"]]))
-            return e + e_ + self.ris_adj_lambda * e_adj
-
-        embedsImage = modal_tower(image_feats, img_adj)
-        embedsText = modal_tower(text_feats, txt_adj)
+        ego = jnp.concatenate([rec["uEmbeds"], rec["iEmbeds"]])
+        # per-modality regenerated graphs need their own passes; the two
+        # main-adjacency passes run batched in lockstep (spmm_multi)
+        e_img_adj = spmm(img_adj, ego)
+        e_txt_adj = spmm(txt_adj, ego)
+        e_img, e_txt = spmm_multi(
+            adj,
+            [
+                jnp.concatenate([rec["uEmbeds"], _l2norm(image_feats)]),
+                jnp.concatenate([rec["uEmbeds"], _l2norm(text_feats)]),
+            ],
+        )
+        e_img_, e_txt_ = spmm_multi(
+            adj,
+            [
+                jnp.concatenate([e_img[: self.n_users], rec["iEmbeds"]]),
+                jnp.concatenate([e_txt[: self.n_users], rec["iEmbeds"]]),
+            ],
+        )
+        embedsImage = e_img + e_img_ + self.ris_adj_lambda * e_img_adj
+        embedsText = e_txt + e_txt_ + self.ris_adj_lambda * e_txt_adj
         embedsModal = weight[0] * embedsImage + weight[1] * embedsText
 
         embeds = embedsModal
@@ -174,16 +187,20 @@ class DiffMM(RecModel):
         rec = params["rec"]
         adj = self.norm_adj
 
-        def tower(feats, modal_adj):
-            e = spmm(modal_adj, jnp.concatenate([rec["uEmbeds"], _l2norm(feats)]))
-            acc = e
-            for _ in range(self.gnn_layer):
-                e = spmm(adj, e)
-                acc = acc + e
-            return acc
-
-        e1 = tower(self.get_image_feats(params), self._modal_graph(state, "image"))
-        e2 = tower(self.get_text_feats(params), self._modal_graph(state, "text"))
+        e1 = spmm(
+            self._modal_graph(state, "image"),
+            jnp.concatenate([rec["uEmbeds"], _l2norm(self.get_image_feats(params))]),
+        )
+        e2 = spmm(
+            self._modal_graph(state, "text"),
+            jnp.concatenate([rec["uEmbeds"], _l2norm(self.get_text_feats(params))]),
+        )
+        acc1, acc2 = e1, e2
+        for _ in range(self.gnn_layer):  # both towers in one batched pass
+            e1, e2 = spmm_multi(adj, [e1, e2])
+            acc1 = acc1 + e1
+            acc2 = acc2 + e2
+        e1, e2 = acc1, acc2
         return (
             e1[: self.n_users],
             e1[self.n_users :],

@@ -24,7 +24,7 @@ import numpy as np
 
 from genmmrec_tpu.common.init import xavier_uniform
 from genmmrec_tpu.models.base import RecModel, scalar
-from genmmrec_tpu.ops.graph import SparseGraph, spmm
+from genmmrec_tpu.ops.graph import SparseGraph, spmm, spmm_multi
 
 _EPS = 1e-12
 
@@ -153,19 +153,26 @@ class GUME(RecModel):
         image_item = p["item_id_embedding"] * img_space
         text_item = p["item_id_embedding"] * txt_space
 
-        extended_id = self._conv_ui(self.norm_adj, p["user_embedding"], p["item_id_embedding"])
+        exp_img_item = self._conv_ii(self.image_original_adj, image_item)
+        exp_txt_item = self._conv_ii(self.text_original_adj, text_item)
+        exp_img_user, exp_txt_user = spmm_multi(self.R, [exp_img_item, exp_txt_item])
+        explicit_image = jnp.concatenate([exp_img_user, exp_img_item], axis=0)
+        explicit_text = jnp.concatenate([exp_txt_user, exp_txt_item], axis=0)
+
+        # the three UI towers share norm_adj — propagate in one batched pass
+        x_id = jnp.concatenate([p["user_embedding"], p["item_id_embedding"]], axis=0)
+        x_img = jnp.concatenate([p["extended_image_user"], exp_img_item], axis=0)
+        x_txt = jnp.concatenate([p["extended_text_user"], exp_txt_item], axis=0)
+        accs = [x_id, x_img, x_txt]
+        xs = [x_id, x_img, x_txt]
+        for _ in range(self.n_ui_layers):
+            xs = spmm_multi(self.norm_adj, xs)
+            accs = [a + x for a, x in zip(accs, xs)]
+        extended_id, extended_image, extended_text = (
+            a / (self.n_ui_layers + 1) for a in accs
+        )
         if extended_id_override is not None:  # RF-mixed embeddings (RFGUME)
             extended_id = extended_id_override
-
-        exp_img_item = self._conv_ii(self.image_original_adj, image_item)
-        exp_img_user = spmm(self.R, exp_img_item)
-        explicit_image = jnp.concatenate([exp_img_user, exp_img_item], axis=0)
-        extended_image = self._conv_ui(self.norm_adj, p["extended_image_user"], exp_img_item)
-
-        exp_txt_item = self._conv_ii(self.text_original_adj, text_item)
-        exp_txt_user = spmm(self.R, exp_txt_item)
-        explicit_text = jnp.concatenate([exp_txt_user, exp_txt_item], axis=0)
-        extended_text = self._conv_ui(self.norm_adj, p["extended_text_user"], exp_txt_item)
 
         extended_it = (extended_image + extended_text) / 2.0
 

@@ -63,6 +63,21 @@ def spmm_t(g: SparseGraph, x: jnp.ndarray) -> jnp.ndarray:
     return jax.ops.segment_sum(gathered, g.cols, num_segments=g.n_cols)
 
 
+def spmm_multi(g: SparseGraph, xs):
+    """Batched SpMM over the SAME graph: one gather/scatter for several
+    operands (column-concatenated).
+
+    TPU perf note (measured on v5e): the random-gather + sorted-scatter is
+    latency-bound, so a d=128 pass costs the same as d=64 — propagating two
+    towers in lockstep through one ``spmm_multi`` is ~2x cheaper than two
+    ``spmm`` calls. Used by the multi-tower models (DiffMM/GUME/MGCN/SMORE).
+    """
+    dims = [x.shape[1] for x in xs]
+    out = spmm(g, jnp.concatenate(xs, axis=1))
+    splits = np.cumsum(dims)[:-1].tolist()
+    return jnp.split(out, splits, axis=1)
+
+
 # ----------------------------------------------------------------------
 def bipartite_norm_adj(
     users: np.ndarray,
