@@ -252,10 +252,15 @@ class Trainer:
         n_items = self.model.n_items
         k_eff = min(max_k, n_items)
 
-        # models with expensive user-independent eval computation (CoDMR's
-        # two-stage p_sample, DiffGraph's denoising) provide eval_artifacts
+        # models with user-independent eval computation (full propagated
+        # matrices, CoDMR's two-stage p_sample, ...) provide eval_artifacts
         # computed ONCE per evaluation instead of per user-chunk
-        has_cache = hasattr(model, "eval_artifacts")
+        from genmmrec_tpu.models.base import RecModel as _Base
+
+        has_cache = (
+            type(model).eval_artifacts is not _Base.eval_artifacts
+            or type(model).full_embeddings is not _Base.full_embeddings
+        )
 
         @partial(jax.jit, static_argnames=("n_chunks",))
         def eval_topk(params, state, users, mask_items, n_chunks):

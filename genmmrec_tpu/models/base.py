@@ -78,6 +78,24 @@ class RecModel:
         """Full-catalog scores, shape (len(users), n_items)."""
         raise NotImplementedError
 
+    # -- cached full-sort evaluation ------------------------------------
+    # Models whose scores are U @ Iᵀ over full propagated matrices should
+    # override ``full_embeddings`` — the trainer then computes the matrices
+    # ONCE per evaluation instead of once per user-chunk (the reference
+    # recomputes the full forward for every eval batch,
+    # `src/common/trainer.py:379-387`).
+    def full_embeddings(self, params: Params, state: State):
+        return None  # override to enable cached eval
+
+    def eval_artifacts(self, params: Params, state: State):
+        return self.full_embeddings(params, state)
+
+    def scores_cached(self, params, state, users, artifacts):
+        if artifacts is None:  # static (trace-time) fallback
+            return self.scores(params, state, users)
+        u, i = artifacts
+        return u[users] @ i.T
+
     def loss_and_update(
         self, params: Params, state: State, batch: Batch, key: jax.Array
     ) -> Tuple[jnp.ndarray, Tuple[Tuple[jnp.ndarray, ...], State]]:

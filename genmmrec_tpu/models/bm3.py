@@ -109,6 +109,11 @@ class BM3(RecModel):
         )
         return total, (total,)
 
+    def full_embeddings(self, params, state):
+        u_online, i_online = self.propagate(params)
+        pred = lambda x: apply_linear(params["predictor"], x)
+        return pred(u_online), pred(i_online)
+
     def scores(self, params, state, users):
         u_online, i_online = self.propagate(params)
         pred = lambda x: apply_linear(params["predictor"], x)

@@ -42,5 +42,8 @@ class BPR(RecModel):
         total = mf + self.reg_weight * reg
         return total, (total,)
 
+    def full_embeddings(self, params, state):
+        return params["user_emb"], params["item_emb"]
+
     def scores(self, params, state, users):
         return params["user_emb"][users] @ params["item_emb"].T

@@ -183,6 +183,9 @@ class COHESION(RecModel):
         total = loss + self.reg_weight * reg
         return total, (total,)
 
+    def full_embeddings(self, params, state):
+        return self.forward(params, state)
+
     def scores(self, params, state, users):
         user_rep, item_rep = self.forward(params, state)
         return user_rep[users] @ item_rep.T

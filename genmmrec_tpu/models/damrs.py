@@ -254,6 +254,10 @@ class DAMRS(RecModel):
         total = mf + self.neighbor_weight * nd_loss + self.kl_weight * kl_loss
         return total, (total,)
 
+    def full_embeddings(self, params, state):
+        u_emb, i_emb, h_t, h_v, h_s = self.forward(params)
+        return u_emb, i_emb + (h_v + h_t + h_s) / 3.0
+
     def scores(self, params, state, users):
         u_emb, i_emb, h_t, h_v, h_s = self.forward(params)
         all_i = i_emb + (h_v + h_t + h_s) / 3.0

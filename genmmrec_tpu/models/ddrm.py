@@ -183,8 +183,11 @@ class DDRM(RecModel):
         total = (loss_el * weight * w).sum() / denom
         return total, (total,)
 
-    def scores(self, params, state, users):
-        all_users, all_items = self.encode(params)
+    def eval_artifacts(self, params, state):
+        return self.encode(params)
+
+    def scores_cached(self, params, state, users, artifacts):
+        all_users, all_items = artifacts
         u_e = all_users[users]
         # mean-history item embedding per user via padded hist
         h = self.data.hist[users]  # (B, max_hist), pad=n_items
@@ -202,3 +205,6 @@ class DDRM(RecModel):
             )
             x_t = q_posterior_mean(self.sched, pred_x0, x_t, t)
         return x_t @ all_items.T
+
+    def scores(self, params, state, users):
+        return self.scores_cached(params, state, users, self.eval_artifacts(params, state))

@@ -135,12 +135,14 @@ class DiffGraph(RecModel):
         total = bpr + reg + u_diff + i_diff
         return total, (total,)
 
-    def scores(self, params, state, users):
+    def full_embeddings(self, params, state):
         usr, itm, h_usr, h_itm = self.forward(params)
         dn_u = lambda x, t: apply_dnn(params["usr_denoiser"], x, t, norm=self.norm)
         dn_i = lambda x, t: apply_dnn(params["item_denoiser"], x, t, norm=self.norm)
         denoised_u = p_sample_loop(self.sched, dn_u, h_usr, self.sampling_steps)
         denoised_i = p_sample_loop(self.sched, dn_i, h_itm, self.sampling_steps)
-        usr = usr + denoised_u
-        itm = itm + denoised_i
+        return usr + denoised_u, itm + denoised_i
+
+    def scores(self, params, state, users):
+        usr, itm = self.full_embeddings(params, state)
         return usr[users] @ itm.T

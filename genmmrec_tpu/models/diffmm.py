@@ -246,6 +246,9 @@ class DiffMM(RecModel):
         total = bpr + reg + cl
         return total, (total,)
 
+    def full_embeddings(self, params, state):
+        return self.forward_MM(params, state)
+
     def scores(self, params, state, users):
         usrEmbeds, itmEmbeds = self.forward_MM(params, state)
         return usrEmbeds[users] @ itmEmbeds.T

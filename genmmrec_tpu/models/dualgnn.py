@@ -195,6 +195,10 @@ class DualGNN(RecModel):
         total = loss + self.reg_weight * reg
         return total, (total,)
 
+    def full_embeddings(self, params, state):
+        out = self.forward(params)
+        return out[: self.n_users], out[self.n_users :]
+
     def scores(self, params, state, users):
         out = self.forward(params)
         return out[users] @ out[self.n_users :].T

@@ -169,6 +169,9 @@ class FREEDOM(RecModel):
         total = mf + self.reg_weight * (mf_t + mf_v)
         return total, (total,)
 
+    def full_embeddings(self, params, state):
+        return self.propagate(params, self._full_norm_vals())
+
     def scores(self, params, state, users):
         ua, ia = self.propagate(params, self._full_norm_vals())
         return ua[users] @ ia.T

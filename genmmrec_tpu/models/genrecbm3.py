@@ -67,9 +67,9 @@ class GenRecBM3(RFHostMixin, BM3):
         total = total + self.ps_loss_weight * ps_loss
         return total, (total,)
 
-    def scores(self, params, state, users):
+    def full_embeddings(self, params, state):
         if not self.use_rf:
-            return BM3.scores(self, params, state, users)
+            return BM3.full_embeddings(self, params, state)
         u, i = self.propagate(params)
         final = jnp.concatenate([u, i], axis=0)
         conditions = self._rf_conditions(params)
@@ -77,5 +77,8 @@ class GenRecBM3(RFHostMixin, BM3):
         warmed = (state["rf_epoch"] >= self.rf_cfg.warmup_epochs).astype(jnp.float32)
         mixed = final + warmed * self.rf_cfg.inference_mix_ratio * generated
         pred = lambda x: apply_linear(params["predictor"], x)
-        um, im = mixed[: self.n_users], mixed[self.n_users :]
-        return pred(um)[users] @ pred(im).T
+        return pred(mixed[: self.n_users]), pred(mixed[self.n_users :])
+
+    def scores(self, params, state, users):
+        u, i = self.full_embeddings(params, state)
+        return u[users] @ i.T

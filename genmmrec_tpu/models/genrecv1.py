@@ -272,6 +272,10 @@ class GenRecV1(RecModel):
         total = bpr + reg + cl1 * self.ssl_reg1 + cl2 * self.ssl_reg2
         return total, (total,)
 
+    def full_embeddings(self, params, state):
+        content, _ = self.forward(params, state, key=None)
+        return content[: self.n_users], content[self.n_users :]
+
     def scores(self, params, state, users):
         content, _ = self.forward(params, state, key=None)
         usr, itm = content[: self.n_users], content[self.n_users :]

@@ -247,6 +247,10 @@ class GUME(RecModel):
         total = bpr + vt + bm + um + reg1 + reg2
         return total, (total,)
 
+    def full_embeddings(self, params, state):
+        all_e = self.forward(params)
+        return all_e[: self.n_users], all_e[self.n_users :]
+
     def scores(self, params, state, users):
         all_e = self.forward(params)
         usr, itm = all_e[: self.n_users], all_e[self.n_users :]

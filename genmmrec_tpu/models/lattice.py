@@ -144,6 +144,9 @@ class LATTICE(RecModel):
         total = mf + self.reg_weight * reg
         return total, (total,)
 
+    def full_embeddings(self, params, state):
+        return self.propagate(params)
+
     def scores(self, params, state, users):
         ua, ia = self.propagate(params)
         return ua[users] @ ia.T

@@ -114,6 +114,9 @@ class LayerGCN(RecModel):
         total = mf + self.reg_weight * reg
         return total, (total,)
 
+    def full_embeddings(self, params, state):
+        return self.propagate(params, self._norm_vals(jnp.ones(self.n_edges)))
+
     def scores(self, params, state, users):
         ua, ia = self.propagate(params, self._norm_vals(jnp.ones(self.n_edges)))
         return ua[users] @ ia.T

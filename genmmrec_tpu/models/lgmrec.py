@@ -153,6 +153,10 @@ class LGMRec(RecModel):
         total = bpr + self.cl_weight * hcl + self.reg_weight * reg
         return total, (total,)
 
+    def full_embeddings(self, params, state):
+        ua, ia, _ = self.forward(params)
+        return ua, ia
+
     def scores(self, params, state, users):
         ua, ia, _ = self.forward(params)
         return ua[users] @ ia.T

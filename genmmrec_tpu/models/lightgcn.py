@@ -65,6 +65,9 @@ class LightGCN(RecModel):
         total = mf + self.reg_weight * reg
         return total, (total,)
 
+    def full_embeddings(self, params, state):
+        return self.propagate(params)
+
     def scores(self, params, state, users):
         u_all, i_all = self.propagate(params)
         return u_all[users] @ i_all.T

@@ -260,6 +260,9 @@ class MCDRec(RecModel):
         total = bpr + self.lambda_dm * dm
         return total, (total,)
 
+    def full_embeddings(self, params, state):
+        return self.encode(params, state)
+
     def scores(self, params, state, users):
         all_users, all_items = self.encode(params, state)
         return all_users[users] @ all_items.T

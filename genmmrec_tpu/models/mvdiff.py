@@ -452,6 +452,10 @@ class MVDiff(RecModel):
         total = bpr + reg + (cl1 + cl2) * self.ssl_reg
         return total, (total,)
 
+    def full_embeddings(self, params, state):
+        usr, itm, _, _ = self.forward(params, state)
+        return usr, itm
+
     def scores(self, params, state, users):
         usr, itm, _, _ = self.forward(params, state)
         return usr[users] @ itm.T

@@ -146,6 +146,11 @@ class MVGAE(RecModel):
             total = total + self._recon(zz, users, pos, neg, w) + self.beta * self._kl(mu, lv)
         return total, (total,)
 
+    def full_embeddings(self, params, state):
+        pd_mu, _, _, _, _ = self.forward(params)
+        result = jax.nn.sigmoid(pd_mu)
+        return result[: self.n_users], result[self.n_users :]
+
     def scores(self, params, state, users):
         pd_mu, _, _, _, _ = self.forward(params)
         result = jax.nn.sigmoid(pd_mu)

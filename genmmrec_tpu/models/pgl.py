@@ -190,10 +190,13 @@ class PGL(RecModel):
         total = mf + self.reg_weight * cl
         return total, (total,)
 
-    def scores(self, params, state, users):
+    def full_embeddings(self, params, state):
         N = self.n_users + self.n_items
         full = SparseGraph(
             rows=self.adj_rows, cols=self.adj_cols, vals=self._full_vals(), n_rows=N, n_cols=N
         )
-        ua, ia = self.forward(params, full)
+        return self.forward(params, full)
+
+    def scores(self, params, state, users):
+        ua, ia = self.full_embeddings(params, state)
         return ua[users] @ ia.T

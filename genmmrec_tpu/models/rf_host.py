@@ -129,13 +129,18 @@ class RFHostMixin:
         total = total + rf_total
         return total, (total,)
 
-    def scores(self, params, state, users):
+    def full_embeddings(self, params, state):
         if not self.use_rf:
-            return super().scores(params, state, users)
+            return super().full_embeddings(params, state)
         final = self.rf_host_repr(params, state)
         conditions = self._rf_conditions(params)
         generated = rf.generate(params["rf"], self.rf_cfg, jax.random.PRNGKey(0), conditions)
         warmed = (state["rf_epoch"] >= self.rf_cfg.warmup_epochs).astype(jnp.float32)
         mixed = final + warmed * self.rf_cfg.inference_mix_ratio * generated
-        u, i = mixed[: self.n_users], mixed[self.n_users :]
+        return mixed[: self.n_users], mixed[self.n_users :]
+
+    def scores(self, params, state, users):
+        if not self.use_rf:
+            return super().scores(params, state, users)
+        u, i = self.full_embeddings(params, state)
         return u[users] @ i.T

@@ -137,9 +137,9 @@ class RFGUME(GUME):
             total = total + self.ps_loss_weight * ps_loss
         return total, (total,)
 
-    def scores(self, params, state, users):
+    def full_embeddings(self, params, state):
         if not self.use_rf:
-            return super().scores(params, state, users)
+            return super().full_embeddings(params, state)
         explicit_image, explicit_text = self._explicit_embeds(params)
         conditions = jnp.concatenate([explicit_image, explicit_text], axis=-1)
         generated = rf.generate(params["rf"], self.rf_cfg, jax.random.PRNGKey(0), conditions)
@@ -149,5 +149,8 @@ class RFGUME(GUME):
         warmed = (state["epoch"] >= self.rf_cfg.warmup_epochs).astype(jnp.float32)
         mixed = original + warmed * self.rf_cfg.inference_mix_ratio * generated
         all_e = self.forward(params, extended_id_override=mixed)
-        usr, itm = all_e[: self.n_users], all_e[self.n_users :]
+        return all_e[: self.n_users], all_e[self.n_users :]
+
+    def scores(self, params, state, users):
+        usr, itm = self.full_embeddings(params, state)
         return usr[users] @ itm.T

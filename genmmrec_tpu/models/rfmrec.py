@@ -285,6 +285,9 @@ class RFMRec(RecModel):
         z, _ = jax.lax.scan(body, z, jnp.arange(n_steps))
         return jnp.split(z, 2, axis=-1)
 
+    def full_embeddings(self, params, state):
+        return params["user_embedding"], params["item_embedding"]
+
     def scores(self, params, state, users):
         return params["user_embedding"][users] @ params["item_embedding"].T
 

@@ -62,8 +62,14 @@ class SELFCFED_LGN(RecModel):
         total = loss_ui + loss_iu + self.reg_weight * reg
         return total, (total,)
 
-    def scores(self, params, state, users):
+    def eval_artifacts(self, params, state):
         u_online, i_online = self.encoder.propagate(params["encoder"])
         pred = lambda x: apply_linear(params["predictor"], x)
-        u_on, i_on = pred(u_online), pred(i_online)
+        return u_online, i_online, pred(u_online), pred(i_online)
+
+    def scores_cached(self, params, state, users, artifacts):
+        u_online, i_online, u_on, i_on = artifacts
         return u_on[users] @ i_online.T + u_online[users] @ i_on.T
+
+    def scores(self, params, state, users):
+        return self.scores_cached(params, state, users, self.eval_artifacts(params, state))

@@ -167,6 +167,13 @@ class SLMRec(RecModel):
         total = main + self.ssl_alpha * ssl
         return total, (total,)
 
+    def eval_artifacts(self, params, state):
+        return self.compute(params)
+
+    def scores_cached(self, params, state, users, artifacts):
+        all_u, all_i = artifacts
+        return jax.nn.sigmoid(all_u[users] @ all_i.T)
+
     def scores(self, params, state, users):
         all_u, all_i = self.compute(params)
         return jax.nn.sigmoid(all_u[users] @ all_i.T)

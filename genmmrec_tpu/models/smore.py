@@ -19,7 +19,13 @@ import numpy as np
 from genmmrec_tpu.common.init import xavier_uniform
 from genmmrec_tpu.models.base import RecModel, scalar
 from genmmrec_tpu.models.mgcn import _l2n, _sym_ui_adj
-from genmmrec_tpu.ops.graph import SparseGraph, knn_graph_sparse, spmm
+from genmmrec_tpu.ops.graph import (
+    SparseGraph,
+    graph_direct_sum,
+    knn_graph_sparse,
+    spmm,
+    spmm_multi,
+)
 
 
 class SMORE(RecModel):
@@ -40,6 +46,11 @@ class SMORE(RecModel):
         self.image_original_adj = knn_graph_sparse(np.asarray(self.v_feat), self.image_knn_k, "sym")
         self.text_original_adj = knn_graph_sparse(np.asarray(self.t_feat), self.text_knn_k, "sym")
         self.fusion_adj = self._max_pool_fusion()
+        # image ⊕ text ⊕ fusion KNN graphs: all modal towers in one scatter
+        self.modal_triple_adj = graph_direct_sum(
+            graph_direct_sum(self.image_original_adj, self.text_original_adj),
+            self.fusion_adj,
+        )
 
     def _max_pool_fusion(self) -> SparseGraph:
         """Union of edges, values = max(image, text) (smore.py:133-155)."""
@@ -132,14 +143,19 @@ class SMORE(RecModel):
             acc = acc + x
         content = acc / (self.n_ui_layers + 1)
 
-        def view(adj, item_e):
-            for _ in range(self.n_layers):
-                item_e = spmm(adj, item_e)
-            return jnp.concatenate([spmm(self.R, item_e), item_e], axis=0)
-
-        image_embeds = view(self.image_original_adj, image_item)
-        text_embeds = view(self.text_original_adj, text_item)
-        fusion_embeds = view(self.fusion_adj, fusion_item)
+        triple = jnp.concatenate([image_item, text_item, fusion_item], axis=0)
+        for _ in range(self.n_layers):
+            triple = spmm(self.modal_triple_adj, triple)
+        n_i = self.n_items
+        image_item, text_item, fusion_item = (
+            triple[:n_i],
+            triple[n_i : 2 * n_i],
+            triple[2 * n_i :],
+        )
+        img_u, txt_u, fus_u = spmm_multi(self.R, [image_item, text_item, fusion_item])
+        image_embeds = jnp.concatenate([img_u, image_item], axis=0)
+        text_embeds = jnp.concatenate([txt_u, text_item], axis=0)
+        fusion_embeds = jnp.concatenate([fus_u, fusion_item], axis=0)
 
         qv = self._lin(p["query_v"]["l2"], jnp.tanh(self._lin(p["query_v"]["l1"], fusion_embeds)))
         qt = self._lin(p["query_t"]["l2"], jnp.tanh(self._lin(p["query_t"]["l1"], fusion_embeds)))
@@ -186,6 +202,9 @@ class SMORE(RecModel):
         )
         total = mf + reg + self.cl_loss * cl
         return total, (total,)
+
+    def full_embeddings(self, params, state):
+        return self.forward(params)
 
     def scores(self, params, state, users):
         ua, ia = self.forward(params)

@@ -46,6 +46,9 @@ class VBPR(RecModel):
         total = mf + self.reg_weight * reg
         return total, (total,)
 
+    def full_embeddings(self, params, state):
+        return params["u_embedding"], self._item_embeddings(params)
+
     def scores(self, params, state, users):
         item_emb = self._item_embeddings(params)
         return params["u_embedding"][users] @ item_emb.T

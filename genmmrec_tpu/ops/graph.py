@@ -78,6 +78,26 @@ def spmm_multi(g: SparseGraph, xs):
     return jnp.split(out, splits, axis=1)
 
 
+def graph_direct_sum(g1: SparseGraph, g2: SparseGraph) -> SparseGraph:
+    """Block-diagonal direct sum g1 ⊕ g2 (one graph over the disjoint union
+    of the two vertex sets).
+
+    Lets two towers that propagate over *different* graphs of similar size
+    (e.g. MGCN/SMORE's image-KNN and text-KNN item graphs) run as ONE
+    latency-bound gather/scatter pass on stacked operands instead of two
+    sequential passes. Row-sortedness is preserved: every g2 row id is
+    offset past g1's last row.
+    """
+    return SparseGraph(
+        rows=jnp.concatenate([g1.rows, g2.rows + g1.n_rows]),
+        cols=jnp.concatenate([g1.cols, g2.cols + g1.n_cols]),
+        vals=jnp.concatenate([g1.vals, g2.vals]),
+        n_rows=g1.n_rows + g2.n_rows,
+        n_cols=g1.n_cols + g2.n_cols,
+        sorted=g1.sorted and g2.sorted,
+    )
+
+
 # ----------------------------------------------------------------------
 def bipartite_norm_adj(
     users: np.ndarray,
