@@ -71,6 +71,8 @@ class TrainData:
     n_items: int = dataclasses.field(metadata=dict(static=True))
     n_inter: int = dataclasses.field(metadata=dict(static=True))
     n_pool: int = dataclasses.field(metadata=dict(static=True))
+    # optional per-interaction timestamps (TIME_FIELD) for temporal models
+    times: Optional[jax.Array] = None  # (n_inter,) float32 or None
 
     @property
     def num_batches(self):
@@ -117,6 +119,11 @@ def build_train_data(train_ds: RecDataset) -> TrainData:
         n_items=n_items,
         n_inter=len(users),
         n_pool=n_pool,
+        times=(
+            jnp.asarray(train_ds.table.times, jnp.float32)
+            if train_ds.table.times is not None
+            else None
+        ),
     )
 
 

@@ -34,6 +34,7 @@ class InterTable:
     n_users: int
     n_items: int
     ratings: Optional[np.ndarray] = None  # (n,) float32 or None
+    times: Optional[np.ndarray] = None  # (n,) float64 or None (TIME_FIELD)
 
     def __len__(self) -> int:
         return len(self.users)
@@ -95,7 +96,8 @@ class RecDataset:
             if out is not None:
                 users, items, labels, ratings = out
                 self.table = InterTable(
-                    users=users, items=items, n_users=0, n_items=0, ratings=ratings
+                    users=users, items=items, n_users=0, n_items=0, ratings=ratings,
+                    times=self._load_times(inter_file),
                 )
                 self.labels = labels
                 return
@@ -103,9 +105,12 @@ class RecDataset:
             self.logger.debug("native TSV parse unavailable; using pandas")
 
         import pandas as pd
+        time_field = self.config["TIME_FIELD"]
         cols = [self.uid_field, self.iid_field, self.splitting_label]
         if rating_field:
             cols.append(rating_field)
+        if time_field:
+            cols.append(time_field)
         sep = self.config["field_separator"] or "\t"
         df = pd.read_csv(inter_file, usecols=lambda c: c in cols, sep=sep)
         missing = [
@@ -127,8 +132,27 @@ class RecDataset:
                 if rating_field and rating_field in df.columns
                 else None
             ),
+            times=(
+                df[time_field].to_numpy(np.float64)
+                if time_field and time_field in df.columns
+                else None
+            ),
         )
         self.labels = df[self.splitting_label].to_numpy(np.int32)
+
+    def _load_times(self, inter_file: str) -> Optional[np.ndarray]:
+        """Single-column timestamp read (the native parser skips it)."""
+        time_field = self.config["TIME_FIELD"]
+        if not time_field:
+            return None
+        try:
+            import pandas as pd
+
+            sep = self.config["field_separator"] or "\t"
+            df = pd.read_csv(inter_file, usecols=[time_field], sep=sep)
+            return df[time_field].to_numpy(np.float64)
+        except (ValueError, KeyError, OSError):
+            return None
 
     # ------------------------------------------------------------------
     def _generate_synthetic(self) -> None:
@@ -176,6 +200,8 @@ class RecDataset:
         self.table.users = np.concatenate([users, np.array([n_users - 1], np.int32)])
         self.table.items = np.concatenate([items, np.array([n_items - 1], np.int32)])
         self.labels = np.concatenate([labels, np.array([0], np.int32)])
+        # chronological surrogate: file order (per-user order is temporal)
+        self.table.times = np.arange(len(self.table.users), dtype=np.float64)
 
     # ------------------------------------------------------------------
     def split(self):
@@ -194,6 +220,9 @@ class RecDataset:
                     ratings=(
                         self.table.ratings[m] if self.table.ratings is not None else None
                     ),
+                    times=(
+                        self.table.times[m] if self.table.times is not None else None
+                    ),
                 )
             )
         if self.config["filter_out_cod_start_users"]:
@@ -208,6 +237,9 @@ class RecDataset:
                     n_items=self.item_num,
                     ratings=(
                         parts[i].ratings[keep] if parts[i].ratings is not None else None
+                    ),
+                    times=(
+                        parts[i].times[keep] if parts[i].times is not None else None
                     ),
                 )
         return [self.copy(p) for p in parts]

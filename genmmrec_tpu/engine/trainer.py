@@ -317,9 +317,20 @@ class Trainer:
             params = self._epoch_prelude(params, k_prelude, epoch_idx)
 
             if self.req_training:
+                # tracing hook: capture ONE epoch's device profile when
+                # profile_trace_dir is set (TPU replacement for the
+                # reference's wall-clock-only timers, trainer.py:254-298)
+                trace_dir = self.config["profile_trace_dir"]
+                tracing = bool(trace_dir) and epoch_idx == self.start_epoch
+                if tracing:
+                    jax.profiler.start_trace(str(trace_dir))
                 params, opt_state, self._state, totals = train_epoch(
                     params, opt_state, self._state, k_train
                 )
+                if tracing:
+                    jax.block_until_ready(totals)
+                    jax.profiler.stop_trace()
+                    self.logger.info("profiler trace written to %s", trace_dir)
                 totals = np.asarray(totals)
                 if not np.all(np.isfinite(totals)):
                     self.logger.info(

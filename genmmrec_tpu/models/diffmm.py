@@ -153,8 +153,10 @@ class DiffMM(RecModel):
         txt_adj = self._modal_graph(state, "text")
 
         ego = jnp.concatenate([rec["uEmbeds"], rec["iEmbeds"]])
-        # per-modality regenerated graphs need their own passes; the two
-        # main-adjacency passes run batched in lockstep (spmm_multi)
+        # per-modality regenerated graphs need their own passes (row-wise
+        # batching over a block-diagonal pair measured SLOWER — scatter cost
+        # is edge-proportional; only column-wise spmm_multi batching wins);
+        # the two main-adjacency passes run batched in lockstep
         e_img_adj = spmm(img_adj, ego)
         e_txt_adj = spmm(txt_adj, ego)
         e_img, e_txt = spmm_multi(

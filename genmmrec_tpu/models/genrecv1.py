@@ -28,7 +28,13 @@ from genmmrec_tpu.common.init import xavier_uniform
 from genmmrec_tpu.models.base import RecModel, scalar
 from genmmrec_tpu.models.diffusion import flip as flipd
 from genmmrec_tpu.models.modal_denoise import apply_modal_denoise, init_modal_denoise
-from genmmrec_tpu.ops.graph import SparseGraph, bipartite_norm_adj, knn_graph_sparse, spmm
+from genmmrec_tpu.ops.graph import (
+    SparseGraph,
+    bipartite_norm_adj,
+    knn_graph_sparse,
+    spmm,
+    spmm_multi,
+)
 
 
 def _bn(x, p, eps=1e-5):
@@ -221,8 +227,8 @@ class GenRecV1(RecModel):
             img_item = spmm(self.image_II, img_item)
         for _ in range(self.n_layers):
             txt_item = spmm(self.text_II, txt_item)
-        img_user = spmm(self.R, img_item)
-        txt_user = spmm(self.R, txt_item)
+        # the two R-lifts share R: one column-batched pass
+        img_user, txt_user = spmm_multi(self.R, [img_item, txt_item])
         img_ui = jnp.concatenate([img_user, img_item], axis=0)
         txt_ui = jnp.concatenate([txt_user, txt_item], axis=0)
 

@@ -56,7 +56,7 @@ class GUME(RecModel):
 
     def _build_augmented_adj(self, data):
         """UI graph + common-KNN item-item edges, jointly normalized."""
-        n_u, n_i = self.n_users, self.n_items
+        n_i = self.n_items
         img_cols = np.asarray(self.image_original_adj.cols).reshape(n_i, self.knn_k)
         txt_cols = np.asarray(self.text_original_adj.cols).reshape(n_i, self.knn_k)
         rows_list, cols_list = [], []
@@ -66,11 +66,17 @@ class GUME(RecModel):
             if len(inter):
                 rows_list.append(np.full(len(inter), i, np.int64))
                 cols_list.append(inter.astype(np.int64))
-        ii_rows = np.concatenate(rows_list) if rows_list else np.zeros(0, np.int64)
-        ii_cols = np.concatenate(cols_list) if cols_list else np.zeros(0, np.int64)
+        self._ii_rows = np.concatenate(rows_list) if rows_list else np.zeros(0, np.int64)
+        self._ii_cols = np.concatenate(cols_list) if cols_list else np.zeros(0, np.int64)
+        self.norm_adj, self.R = self._augmented_adj_from(
+            np.asarray(data.users, np.int64), np.asarray(data.items, np.int64)
+        )
 
-        users = np.asarray(data.users, np.int64)
-        items = np.asarray(data.items, np.int64)
+    def _augmented_adj_from(self, users, items):
+        """Joint normalization over the given UI edge set + the cached
+        common-KNN II edges. Returns (norm_adj, R)."""
+        n_u, n_i = self.n_users, self.n_items
+        ii_rows, ii_cols = self._ii_rows, self._ii_cols
         N = n_u + n_i
         rows = np.concatenate([users, items + n_u, ii_rows + n_u])
         cols = np.concatenate([items + n_u, users, ii_cols + n_u])
@@ -82,7 +88,7 @@ class GUME(RecModel):
         dis[np.isinf(dis)] = 0.0
         nvals = (dis[rows] * vals * dis[cols]).astype(np.float32)
         order = np.argsort(rows, kind="stable")
-        self.norm_adj = SparseGraph(
+        norm_adj = SparseGraph(
             rows=jnp.asarray(rows[order].astype(np.int32)),
             cols=jnp.asarray(cols[order].astype(np.int32)),
             vals=jnp.asarray(nvals[order]),
@@ -92,13 +98,14 @@ class GUME(RecModel):
         # normalized UI block as R (gume.py:199)
         ui = slice(0, len(users))
         order_u = np.argsort(users, kind="stable")
-        self.R = SparseGraph(
+        R = SparseGraph(
             rows=jnp.asarray(users[order_u].astype(np.int32)),
             cols=jnp.asarray(items[order_u].astype(np.int32)),
             vals=jnp.asarray(nvals[ui][order_u]),
             n_rows=n_u,
             n_cols=n_i,
         )
+        return norm_adj, R
 
     # ------------------------------------------------------------------
     def init_params(self, key):

@@ -15,13 +15,7 @@ import numpy as np
 
 from genmmrec_tpu.common.init import xavier_uniform
 from genmmrec_tpu.models.base import RecModel, scalar
-from genmmrec_tpu.ops.graph import (
-    SparseGraph,
-    graph_direct_sum,
-    knn_graph_sparse,
-    spmm,
-    spmm_multi,
-)
+from genmmrec_tpu.ops.graph import SparseGraph, knn_graph_sparse, spmm, spmm_multi
 
 _EPS = 1e-12
 
@@ -78,8 +72,6 @@ class MGCN(RecModel):
         self.norm_adj, self.R = _sym_ui_adj(users, items, self.n_users, self.n_items)
         self.image_original_adj = knn_graph_sparse(np.asarray(self.v_feat), self.knn_k, "sym")
         self.text_original_adj = knn_graph_sparse(np.asarray(self.t_feat), self.knn_k, "sym")
-        # image ⊕ text KNN graphs: both modal towers in one scatter pass
-        self.modal_pair_adj = graph_direct_sum(self.image_original_adj, self.text_original_adj)
 
     def init_params(self, key):
         ks = jax.random.split(key, 12)
@@ -124,10 +116,11 @@ class MGCN(RecModel):
             acc = acc + x
         content = acc / (self.n_ui_layers + 1)
 
-        both = jnp.concatenate([image_item, text_item], axis=0)
         for _ in range(self.n_layers):
-            both = spmm(self.modal_pair_adj, both)
-        image_item, text_item = both[: self.n_items], both[self.n_items :]
+            image_item = spmm(self.image_original_adj, image_item)
+        for _ in range(self.n_layers):
+            text_item = spmm(self.text_original_adj, text_item)
+        # the two R-lifts share R: one column-batched pass
         img_u, txt_u = spmm_multi(self.R, [image_item, text_item])
         image_embeds = jnp.concatenate([img_u, image_item], axis=0)
         text_embeds = jnp.concatenate([txt_u, text_item], axis=0)

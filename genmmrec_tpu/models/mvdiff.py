@@ -35,7 +35,7 @@ from genmmrec_tpu.common.init import xavier_uniform
 from genmmrec_tpu.models.base import RecModel, scalar
 from genmmrec_tpu.models.diffusion.dnn import timestep_embedding
 from genmmrec_tpu.models.diffusion.schedule import make_schedule, q_posterior_mean
-from genmmrec_tpu.ops.graph import SparseGraph, spmm
+from genmmrec_tpu.ops.graph import SparseGraph, spmm, spmm_multi
 
 _EPS = 1e-12
 
@@ -411,8 +411,10 @@ class MVDiff(RecModel):
             txt_item = spmm(g_txt_ii, txt_item) + (
                 spmm(g_fus_ii, txt_item) if self.modal_fusion else 0.0
             )
-        img_ui = jnp.concatenate([spmm(self.R, img_item), img_item], axis=0)
-        txt_ui = jnp.concatenate([spmm(self.R, txt_item), txt_item], axis=0)
+        # the two R-lifts share R: one column-batched pass
+        img_u, txt_u = spmm_multi(self.R, [img_item, txt_item])
+        img_ui = jnp.concatenate([img_u, img_item], axis=0)
+        txt_ui = jnp.concatenate([txt_u, txt_item], axis=0)
 
         com = lambda x: (jnp.tanh(_bn(_ap(rec["common1"]["lin"], x), rec["common1"]["bn"]))) @ rec["common2"]["w"].T
         att = jnp.concatenate([com(img_ui), com(txt_ui)], axis=-1)

@@ -67,6 +67,15 @@ class RFGUME(GUME):
         return {**state, "epoch": jnp.int32(epoch)}
 
     # ------------------------------------------------------------------
+    def _rf_x0(self, params):
+        """RF source distribution X0; None = standard Gaussian. RFGUMETime
+        overrides this with the historical-graph embeddings."""
+        return None
+
+    def _mix_eval(self, original, generated, warmed):
+        """Inference-time mixing rule (rfgume.py: additive residual)."""
+        return original + warmed * self.rf_cfg.inference_mix_ratio * generated
+
     def _explicit_embeds(self, params):
         p = params
         img_space = jax.nn.sigmoid(
@@ -121,6 +130,7 @@ class RFGUME(GUME):
             )
         )
 
+        x0 = self._rf_x0(params)
         rf_total, rf_loss, cl_loss = rf.rf_losses(
             params["rf"],
             self.rf_cfg,
@@ -131,6 +141,7 @@ class RFGUME(GUME):
             batch["users"],
             batch["pos"],
             batch["weight"],
+            fixed_noise=sg(x0) if x0 is not None else None,
         )
         total = total + rf_total
         if self.use_denoise:
@@ -142,12 +153,18 @@ class RFGUME(GUME):
             return super().full_embeddings(params, state)
         explicit_image, explicit_text = self._explicit_embeds(params)
         conditions = jnp.concatenate([explicit_image, explicit_text], axis=-1)
-        generated = rf.generate(params["rf"], self.rf_cfg, jax.random.PRNGKey(0), conditions)
+        generated = rf.generate(
+            params["rf"],
+            self.rf_cfg,
+            jax.random.PRNGKey(0),
+            conditions,
+            start_noise=self._rf_x0(params),
+        )
         original = self._conv_ui(
             self.norm_adj, params["user_embedding"], params["item_id_embedding"]
         )
         warmed = (state["epoch"] >= self.rf_cfg.warmup_epochs).astype(jnp.float32)
-        mixed = original + warmed * self.rf_cfg.inference_mix_ratio * generated
+        mixed = self._mix_eval(original, generated, warmed)
         all_e = self.forward(params, extended_id_override=mixed)
         return all_e[: self.n_users], all_e[self.n_users :]
 

@@ -19,13 +19,7 @@ import numpy as np
 from genmmrec_tpu.common.init import xavier_uniform
 from genmmrec_tpu.models.base import RecModel, scalar
 from genmmrec_tpu.models.mgcn import _l2n, _sym_ui_adj
-from genmmrec_tpu.ops.graph import (
-    SparseGraph,
-    graph_direct_sum,
-    knn_graph_sparse,
-    spmm,
-    spmm_multi,
-)
+from genmmrec_tpu.ops.graph import SparseGraph, knn_graph_sparse, spmm, spmm_multi
 
 
 class SMORE(RecModel):
@@ -46,11 +40,6 @@ class SMORE(RecModel):
         self.image_original_adj = knn_graph_sparse(np.asarray(self.v_feat), self.image_knn_k, "sym")
         self.text_original_adj = knn_graph_sparse(np.asarray(self.t_feat), self.text_knn_k, "sym")
         self.fusion_adj = self._max_pool_fusion()
-        # image ⊕ text ⊕ fusion KNN graphs: all modal towers in one scatter
-        self.modal_triple_adj = graph_direct_sum(
-            graph_direct_sum(self.image_original_adj, self.text_original_adj),
-            self.fusion_adj,
-        )
 
     def _max_pool_fusion(self) -> SparseGraph:
         """Union of edges, values = max(image, text) (smore.py:133-155)."""
@@ -143,15 +132,13 @@ class SMORE(RecModel):
             acc = acc + x
         content = acc / (self.n_ui_layers + 1)
 
-        triple = jnp.concatenate([image_item, text_item, fusion_item], axis=0)
         for _ in range(self.n_layers):
-            triple = spmm(self.modal_triple_adj, triple)
-        n_i = self.n_items
-        image_item, text_item, fusion_item = (
-            triple[:n_i],
-            triple[n_i : 2 * n_i],
-            triple[2 * n_i :],
-        )
+            image_item = spmm(self.image_original_adj, image_item)
+        for _ in range(self.n_layers):
+            text_item = spmm(self.text_original_adj, text_item)
+        for _ in range(self.n_layers):
+            fusion_item = spmm(self.fusion_adj, fusion_item)
+        # the three R-lifts share R: one column-batched pass
         img_u, txt_u, fus_u = spmm_multi(self.R, [image_item, text_item, fusion_item])
         image_embeds = jnp.concatenate([img_u, image_item], axis=0)
         text_embeds = jnp.concatenate([txt_u, text_item], axis=0)

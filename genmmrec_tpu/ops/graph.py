@@ -67,35 +67,18 @@ def spmm_multi(g: SparseGraph, xs):
     """Batched SpMM over the SAME graph: one gather/scatter for several
     operands (column-concatenated).
 
-    TPU perf note (measured on v5e): the random-gather + sorted-scatter is
-    latency-bound, so a d=128 pass costs the same as d=64 — propagating two
-    towers in lockstep through one ``spmm_multi`` is ~2x cheaper than two
-    ``spmm`` calls. Used by the multi-tower models (DiffMM/GUME/MGCN/SMORE).
+    TPU perf note (measured on v5e): a d=128 pass costs the same as d=64,
+    so propagating two towers in lockstep through one ``spmm_multi`` is ~2x
+    cheaper than two ``spmm`` calls (baby scale: 5.7ms -> 3.1ms). Only this
+    COLUMN-wise batching wins: ROW-wise batching (block-diagonal stacking of
+    different graphs) measured slower — scatter cost is edge-proportional,
+    and stacking adds operand concats (scripts/time_spmm_variants.py).
+    Used by the multi-tower models (DiffMM/GUME/MGCN/SMORE/GenRecV1/MVDiff).
     """
     dims = [x.shape[1] for x in xs]
     out = spmm(g, jnp.concatenate(xs, axis=1))
     splits = np.cumsum(dims)[:-1].tolist()
     return jnp.split(out, splits, axis=1)
-
-
-def graph_direct_sum(g1: SparseGraph, g2: SparseGraph) -> SparseGraph:
-    """Block-diagonal direct sum g1 ⊕ g2 (one graph over the disjoint union
-    of the two vertex sets).
-
-    Lets two towers that propagate over *different* graphs of similar size
-    (e.g. MGCN/SMORE's image-KNN and text-KNN item graphs) run as ONE
-    latency-bound gather/scatter pass on stacked operands instead of two
-    sequential passes. Row-sortedness is preserved: every g2 row id is
-    offset past g1's last row.
-    """
-    return SparseGraph(
-        rows=jnp.concatenate([g1.rows, g2.rows + g1.n_rows]),
-        cols=jnp.concatenate([g1.cols, g2.cols + g1.n_cols]),
-        vals=jnp.concatenate([g1.vals, g2.vals]),
-        n_rows=g1.n_rows + g2.n_rows,
-        n_cols=g1.n_cols + g2.n_cols,
-        sorted=g1.sorted and g2.sorted,
-    )
 
 
 # ----------------------------------------------------------------------

@@ -13,7 +13,7 @@ if __name__ == "__main__":
     parser.add_argument("--epochs", type=int, default=None, help="override epoch count")
     parser.add_argument(
         "--config-json", type=str, default=None,
-        help="path to a JSON dict of config overrides (harness use)",
+        help="config overrides: inline JSON dict or a path to a JSON file",
     )
     args, _ = parser.parse_known_args()
 
@@ -21,8 +21,11 @@ if __name__ == "__main__":
     if args.config_json:
         import json
 
-        with open(args.config_json) as f:
-            config_dict.update(json.load(f))
+        if args.config_json.lstrip().startswith("{"):
+            config_dict.update(json.loads(args.config_json))
+        else:
+            with open(args.config_json) as f:
+                config_dict.update(json.load(f))
     quick_start(
         model=args.model,
         dataset=args.dataset,

@@ -74,6 +74,7 @@ def test_rf_generate_shapes_and_determinism():
     "name",
     [
         "RFGUME",
+        "RFGUMETime",
         "RFMRec",
         "RFBM3",
         "RFFREEDOM",
@@ -118,6 +119,37 @@ def test_rf_model_contract(tiny_td, name):
     scores = model.scores(params, state, td.users[:4])
     assert scores.shape == (4, td.n_items)
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_rfgumetime_temporal_flow(tiny_td):
+    """Temporal variant: historical graph is a strict edge subset; RF source
+    X0 equals the historical conv; convex inference mixing."""
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    _, _, td = tiny_td
+    config = Config(
+        "RFGUMETime",
+        "tiny",
+        {"save_recommended_topk": False, "rf_loss_weight": 0.2, "temporal_ratio": 0.4},
+    )
+    model = get_model("RFGUMETime")(config, td)
+    assert model.historical_adj is not None
+    assert model.historical_adj.nnz < model.norm_adj.nnz
+    params = model.init_params(jax.random.PRNGKey(0))
+    x0 = model._rf_x0(params)
+    expected = model._conv_ui(
+        model.historical_adj, params["user_embedding"], params["item_id_embedding"]
+    )
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(expected), rtol=1e-6)
+    # temporal_ratio=0 degrades to the Gaussian-source RFGUME
+    config0 = Config(
+        "RFGUMETime",
+        "tiny",
+        {"save_recommended_topk": False, "rf_loss_weight": 0.2, "temporal_ratio": 0.0},
+    )
+    model0 = get_model("RFGUMETime")(config0, td)
+    assert model0.historical_adj is None and model0._rf_x0(params) is None
 
 
 def test_rfgume_rf_params_use_dedicated_adamw(tiny_td):
