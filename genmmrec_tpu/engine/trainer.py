@@ -441,12 +441,33 @@ class Trainer:
         return params
 
     # ------------------------------------------------------------------
+    def _shard_eval_inputs(self, users, mask_items):
+        """Multi-chip: spread the per-chunk user batch over the mesh's data
+        axis. Chunks run in a sequential ``lax.map``; inside each chunk the
+        users (and therefore the full-sort score matmul + top-k) split
+        across devices, with parameters replicated — sharding propagates
+        from these input annotations (no distributed layer exists in the
+        reference; `SURVEY.md` §2.5)."""
+        if jax.device_count() <= 1:
+            return users, mask_items
+        try:
+            from genmmrec_tpu.parallel.mesh import build_mesh, data_sharding
+
+            mesh = build_mesh(self.config)
+            if self.eval_batch_size % mesh.shape["data"] != 0:
+                return users, mask_items
+            sh = data_sharding(mesh)
+            return jax.device_put(users, sh), jax.device_put(mask_items, sh)
+        except (ValueError, RuntimeError):
+            return users, mask_items
+
     def evaluate(self, params, eval_data: EvalData, is_test: bool = False, idx: int = 0):
         if self._eval_fn is None:
             self._eval_fn = self._build_eval_fn()
         n_chunks = eval_data.users.shape[0] // self.eval_batch_size
+        users, mask_items = self._shard_eval_inputs(eval_data.users, eval_data.mask_items)
         topk_index = self._eval_fn(
-            params, self._state, eval_data.users, eval_data.mask_items, n_chunks
+            params, self._state, users, mask_items, n_chunks
         )
         return self.evaluator.evaluate(
             topk_index,

@@ -94,7 +94,7 @@ class GUME(RecModel):
             vals=jnp.asarray(nvals[order]),
             n_rows=N,
             n_cols=N,
-        )
+        ).with_span()
         # normalized UI block as R (gume.py:199)
         ui = slice(0, len(users))
         order_u = np.argsort(users, kind="stable")
@@ -104,7 +104,7 @@ class GUME(RecModel):
             vals=jnp.asarray(nvals[ui][order_u]),
             n_rows=n_u,
             n_cols=n_i,
-        )
+        ).with_span()
         return norm_adj, R
 
     # ------------------------------------------------------------------

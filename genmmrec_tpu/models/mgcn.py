@@ -44,7 +44,8 @@ def _sym_ui_adj(users, items, n_users, n_items):
         vals=jnp.asarray(nvals[order]),
         n_rows=N,
         n_cols=N,
-    )
+        symmetric=True,  # UI-only edges, joint rowsum^-1/2 normalization
+    ).with_span()
     half = len(users)
     order_u = np.argsort(users, kind="stable")
     R = SparseGraph(
@@ -53,7 +54,7 @@ def _sym_ui_adj(users, items, n_users, n_items):
         vals=jnp.asarray(nvals[:half][order_u]),
         n_rows=n_users,
         n_cols=n_items,
-    )
+    ).with_span()
     return adj, R
 
 

@@ -43,14 +43,41 @@ class SparseGraph:
     n_cols: int = dataclasses.field(metadata=dict(static=True))
     # epoch-regenerated graphs have data-dependent (unsorted) rows
     sorted: bool = dataclasses.field(default=True, metadata=dict(static=True))
+    # static chunk-span bound enabling the Pallas segment-sum kernel
+    # (0 = disabled; see ops/segment_pallas.py). Set by host-side builders.
+    pallas_span: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # value-symmetric square graph (Aᵀ == A): backward transpose products
+    # route through the same sorted kernel instead of an unsorted scatter
+    symmetric: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def nnz(self) -> int:
         return self.rows.shape[0]
 
+    def with_span(self) -> "SparseGraph":
+        """Compute the static Pallas span bound from the (host-resident)
+        row array. Call once at graph-build time, never inside jit."""
+        from genmmrec_tpu.ops.segment_pallas import chunk_span
+
+        if not self.sorted:
+            return self
+        span = chunk_span(np.asarray(self.rows), self.n_rows)
+        return dataclasses.replace(self, pallas_span=span)
+
 
 def spmm(g: SparseGraph, x: jnp.ndarray) -> jnp.ndarray:
     """Sparse @ dense: (n_rows, n_cols) @ (n_cols, d) -> (n_rows, d)."""
+    if g.pallas_span > 0 and g.sorted and jax.default_backend() != "cpu":
+        from genmmrec_tpu.ops.segment_pallas import (
+            sorted_segment_sum,
+            spmm_symmetric,
+        )
+
+        if g.symmetric:
+            return spmm_symmetric(g.rows, g.cols, g.vals, x, g.n_rows, g.pallas_span)
+        return sorted_segment_sum(
+            g.vals[:, None] * x[g.cols], g.rows, g.n_rows, g.pallas_span
+        )
     gathered = g.vals[:, None] * x[g.cols]
     return jax.ops.segment_sum(
         gathered, g.rows, num_segments=g.n_rows, indices_are_sorted=g.sorted
@@ -113,7 +140,8 @@ def bipartite_norm_adj(
         vals=jnp.asarray(vals[order]),
         n_rows=N,
         n_cols=N,
-    )
+        symmetric=True,  # D^-1/2 A D^-1/2 of the symmetrized bipartite graph
+    ).with_span()
 
 
 def ui_norm_adj(
@@ -141,7 +169,7 @@ def ui_norm_adj(
         vals=jnp.asarray(vals[order]),
         n_rows=n_users,
         n_cols=n_items,
-    )
+    ).with_span()
 
 
 # ----------------------------------------------------------------------
@@ -263,4 +291,4 @@ def knn_graph_sparse(
         vals=jnp.asarray(vals.astype(np.float32)),
         n_rows=n,
         n_cols=n,
-    )
+    ).with_span()
