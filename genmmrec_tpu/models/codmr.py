@@ -106,7 +106,8 @@ class CoDMR(RecModel):
             vals=jnp.asarray(nvals[order]),
             n_rows=N,
             n_cols=N,
-        )
+            symmetric=True,  # mirrored edges, joint normalization
+        ).with_span()
         self.uinorm = jnp.asarray(deg.astype(np.float32))
         self.iciMat = knn_graph_sparse(np.asarray(self.t_feat), self.knn_k, "sym")
         self.icaiMat = knn_graph_sparse(np.asarray(self.v_feat), self.knn_k, "sym")

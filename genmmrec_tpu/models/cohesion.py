@@ -58,6 +58,9 @@ class COHESION(RecModel):
         self._perm = jnp.asarray(self._order.astype(np.int32))
         self.adj_rows = jnp.asarray(rows[self._order])
         self.adj_cols = jnp.asarray(cols[self._order])
+        from genmmrec_tpu.ops.segment_pallas import chunk_span
+
+        self._pspan = chunk_span(rows[self._order], self.N)
         du = np.bincount(users, minlength=self.n_users) + 1e-7
         di = np.bincount(items, minlength=self.n_items) + 1e-7
         self.edge_values = jnp.asarray(
@@ -76,7 +79,7 @@ class COHESION(RecModel):
             vals=jnp.concatenate([mm.vals, tg.vals])[order],
             n_rows=self.n_items,
             n_cols=self.n_items,
-        )
+        ).with_span()
         # user-user co-occurrence graph (shared builder with DualGNN)
         DualGNN._build_user_graph(self, config, users, items)
 
@@ -120,7 +123,13 @@ class COHESION(RecModel):
 
     def _graph(self, vals):
         return SparseGraph(
-            rows=self.adj_rows, cols=self.adj_cols, vals=vals, n_rows=self.N, n_cols=self.N
+            rows=self.adj_rows,
+            cols=self.adj_cols,
+            vals=vals,
+            n_rows=self.N,
+            n_cols=self.N,
+            pallas_span=self._pspan,
+            symmetric=True,  # [v, v] over mirrored edges
         )
 
     def _tower(self, tp, feats, id_feat, adj, rms_combine=True):

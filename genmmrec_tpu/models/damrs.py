@@ -78,7 +78,7 @@ class DAMRS(RecModel):
                 vals=jnp.asarray(vals),
                 n_rows=self.n_items,
                 n_cols=self.n_items,
-            )
+            ).with_span()
 
         return build(v_sim), build(t_sim)
 
@@ -127,7 +127,7 @@ class DAMRS(RecModel):
             vals=jnp.asarray(nvals[order]),
             n_rows=self.n_items,
             n_cols=self.n_items,
-        )
+        ).with_span()
 
     # ------------------------------------------------------------------
     def init_params(self, key):

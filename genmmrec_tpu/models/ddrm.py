@@ -44,7 +44,8 @@ def _rowsum_norm_adj(users, items, n_users, n_items):
         vals=jnp.asarray(vals[order]),
         n_rows=N,
         n_cols=N,
-    )
+        symmetric=True,  # mirrored edges, joint normalization
+    ).with_span()
 
 
 def _init_cond_dnn(key, dims, latent_dim):

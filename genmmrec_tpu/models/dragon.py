@@ -40,7 +40,7 @@ class DRAGON(DualGNN):
             vals=jnp.concatenate([mm.vals, tg.vals])[order],
             n_rows=self.n_items,
             n_cols=self.n_items,
-        )
+        ).with_span()
 
     def forward(self, params):
         v_rep = self._tower(

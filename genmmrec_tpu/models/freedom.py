@@ -53,6 +53,9 @@ class FREEDOM(RecModel):
         self._order = np.argsort(rows, kind="stable")
         # sorted edge i corresponds to concat-layout index _perm[i]
         self._perm = jnp.asarray(self._order.astype(np.int32))
+        from genmmrec_tpu.ops.segment_pallas import chunk_span
+
+        self._pspan = chunk_span(rows[self._order], self.n_users + self.n_items)
         self.adj_rows = jnp.asarray(rows[self._order])
         self.adj_cols = jnp.asarray(cols[self._order])
 
@@ -138,6 +141,8 @@ class FREEDOM(RecModel):
             vals=vals,
             n_rows=self.n_users + self.n_items,
             n_cols=self.n_users + self.n_items,
+            pallas_span=self._pspan,
+            symmetric=True,  # [v, v] over mirrored edges
         )
 
     def propagate(self, params, vals):

@@ -102,7 +102,7 @@ class GenRecV1(RecModel):
             vals=jnp.ones(len(users), jnp.float32),
             n_rows=self.n_users,
             n_cols=self.n_items,
-        )
+        ).with_span()
         # static item-item KNN modal graphs (reference _build_knn_adj)
         self.image_II = knn_graph_sparse(np.asarray(self.v_feat), self.knn_k, "sym")
         self.text_II = knn_graph_sparse(np.asarray(self.t_feat), self.knn_k, "sym")

@@ -43,7 +43,7 @@ def _rw_plus_eye_adj(users, items, n_users, n_items):
         vals=jnp.asarray(nvals[order]),
         n_rows=N,
         n_cols=N,
-    )
+    ).with_span()
 
 
 class LATTICE(RecModel):

@@ -41,6 +41,9 @@ class LayerGCN(RecModel):
         self._perm = jnp.asarray(self._order.astype(np.int32))
         self.adj_rows = jnp.asarray(rows[self._order])
         self.adj_cols = jnp.asarray(cols[self._order])
+        from genmmrec_tpu.ops.segment_pallas import chunk_span
+
+        self._pspan = chunk_span(rows[self._order], self.n_users + self.n_items)
         du = np.bincount(users, minlength=self.n_users) + 1e-7
         di = np.bincount(items, minlength=self.n_items) + 1e-7
         self.edge_values = jnp.asarray(
@@ -81,7 +84,13 @@ class LayerGCN(RecModel):
     def _graph(self, vals):
         N = self.n_users + self.n_items
         return SparseGraph(
-            rows=self.adj_rows, cols=self.adj_cols, vals=vals, n_rows=N, n_cols=N
+            rows=self.adj_rows,
+            cols=self.adj_cols,
+            vals=vals,
+            n_rows=N,
+            n_cols=N,
+            pallas_span=self._pspan,
+            symmetric=True,  # [v, v] over mirrored edges
         )
 
     def propagate(self, params, vals):

@@ -52,7 +52,7 @@ class LGMRec(RecModel):
             vals=jnp.ones(len(users), jnp.float32),
             n_rows=self.n_users,
             n_cols=self.n_items,
-        )
+        ).with_span()
         deg_u = np.bincount(users, minlength=self.n_users).astype(np.float32)
         self.inv_inters_u = jnp.asarray(1.0 / (deg_u + 1e-7))
 

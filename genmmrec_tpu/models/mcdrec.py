@@ -100,6 +100,9 @@ class MCDRec(RecModel):
         self._perm = jnp.asarray(self._order.astype(np.int32))
         self.adj_rows = jnp.asarray(rows[self._order])
         self.adj_cols = jnp.asarray(cols[self._order])
+        from genmmrec_tpu.ops.segment_pallas import chunk_span
+
+        self._pspan = chunk_span(rows[self._order], self.n_users + self.n_items)
 
         # plain linear schedule, float32 betas (mcdrec.py:107-113) — reuse
         # the shared builder without beta pinning
@@ -229,6 +232,7 @@ class MCDRec(RecModel):
         return SparseGraph(
             rows=self.adj_rows, cols=self.adj_cols, vals=state["graph_vals"],
             n_rows=N, n_cols=N,
+            pallas_span=self._pspan, symmetric=True,  # [v, v] mirrored edges
         )
 
     def encode(self, params, state):

@@ -126,7 +126,7 @@ class MVDiff(RecModel):
             vals=jnp.ones(len(users), jnp.float32),
             n_rows=self.n_users,
             n_cols=self.n_items,
-        )
+        ).with_span()
         self.sched = make_schedule(
             "linear-var", float(g("noise_scale", 0.1)), float(g("noise_min", 1e-4)),
             float(g("noise_max", 0.02)), self.steps, beta_fixed_value=1e-4,

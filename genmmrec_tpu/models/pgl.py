@@ -51,6 +51,9 @@ class PGL(RecModel):
         self._perm = jnp.asarray(self._order.astype(np.int32))
         self.adj_rows = jnp.asarray(rows[self._order])
         self.adj_cols = jnp.asarray(cols[self._order])
+        from genmmrec_tpu.ops.segment_pallas import chunk_span
+
+        self._pspan = chunk_span(rows[self._order], self.n_users + self.n_items)
         du = np.bincount(users, minlength=self.n_users) + 1e-7
         di = np.bincount(items, minlength=self.n_items) + 1e-7
         self.edge_values = jnp.asarray(
@@ -70,7 +73,7 @@ class PGL(RecModel):
             vals=jnp.concatenate([mm.vals, tg.vals])[order],
             n_rows=self.n_items,
             n_cols=self.n_items,
-        )
+        ).with_span()
         if self.mode == "global":
             self._build_global_subgraph(users, items)
 
@@ -102,7 +105,7 @@ class PGL(RecModel):
             vals=jnp.asarray(M[rr, cc][order].astype(np.float32)),
             n_rows=N,
             n_cols=N,
-        )
+        ).with_span()
 
     # ------------------------------------------------------------------
     def init_params(self, key):
@@ -145,7 +148,13 @@ class PGL(RecModel):
             return self.sub_graph
         N = self.n_users + self.n_items
         return SparseGraph(
-            rows=self.adj_rows, cols=self.adj_cols, vals=state["sub_vals"], n_rows=N, n_cols=N
+            rows=self.adj_rows,
+            cols=self.adj_cols,
+            vals=state["sub_vals"],
+            n_rows=N,
+            n_cols=N,
+            pallas_span=self._pspan,
+            symmetric=True,  # [v, v] over mirrored edges
         )
 
     def forward(self, params, adj):
@@ -193,7 +202,13 @@ class PGL(RecModel):
     def full_embeddings(self, params, state):
         N = self.n_users + self.n_items
         full = SparseGraph(
-            rows=self.adj_rows, cols=self.adj_cols, vals=self._full_vals(), n_rows=N, n_cols=N
+            rows=self.adj_rows,
+            cols=self.adj_cols,
+            vals=self._full_vals(),
+            n_rows=N,
+            n_cols=N,
+            pallas_span=self._pspan,
+            symmetric=True,
         )
         return self.forward(params, full)
 

@@ -49,7 +49,7 @@ class RFHostMixin:
             vals=jnp.ones(len(users), jnp.float32),
             n_rows=self.n_users,
             n_cols=self.n_items,
-        )
+        ).with_span()
 
     # -- hooks ----------------------------------------------------------
     def rf_host_repr(self, params, state) -> jnp.ndarray:

@@ -23,6 +23,7 @@ class RFPGL(RFHostMixin, PGL):
         full = SparseGraph(
             rows=self.adj_rows, cols=self.adj_cols, vals=self._full_vals(),
             n_rows=N, n_cols=N,
+            pallas_span=self._pspan, symmetric=True,
         )
         u, i = self.forward(params, full)
         return jnp.concatenate([u, i], axis=0)

@@ -62,7 +62,8 @@ class SLMRec(RecModel):
             vals=jnp.asarray(vals[order]),
             n_rows=N,
             n_cols=N,
-        )
+            symmetric=True,  # mirrored edges, joint normalization
+        ).with_span()
         self.v_feat = _l2n(self.v_feat)
         self.t_feat = _l2n(self.t_feat)
 

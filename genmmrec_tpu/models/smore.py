@@ -62,7 +62,7 @@ class SMORE(RecModel):
             vals=jnp.asarray(out),
             n_rows=self.n_items,
             n_cols=self.n_items,
-        )
+        ).with_span()
 
     def init_params(self, key):
         ks = jax.random.split(key, 18)
