@@ -91,7 +91,11 @@ class TopKEvaluator:
             has_warm=warm_mask is not None,
             n_items=eval_data.n_items,
         )
-        result = {k: round(float(v), 4) for k, v in out.items()}
+        # ONE device->host transfer for all scalars (per-scalar float() round
+        # trips dominate wall-clock on remote-attached TPUs)
+        keys = list(out.keys())
+        vals = np.asarray(jnp.stack([out[k] for k in keys]))
+        result = {k: round(float(v), 4) for k, v in zip(keys, vals)}
         if self.save_recom_result and is_test:
             self._save_topk(topk_index, eval_data, idx)
         return result

@@ -113,6 +113,7 @@ class Trainer:
 
         self._train_epoch_fn = None
         self._eval_fn = None
+        self._mask_cache = {}
 
     # ------------------------------------------------------------------
     def _make_optimizer(self) -> optax.GradientTransformation:
@@ -262,8 +263,8 @@ class Trainer:
             or type(model).full_embeddings is not _Base.full_embeddings
         )
 
-        @partial(jax.jit, static_argnames=("n_chunks",))
-        def eval_topk(params, state, users, mask_items, n_chunks):
+        @partial(jax.jit, static_argnames=("n_chunks", "dense_mask"))
+        def eval_topk(params, state, users, mask_items, n_chunks, dense_mask=False):
             users_c = users.reshape(n_chunks, B)
             mask_c = mask_items.reshape(n_chunks, B, -1)
             arts = model.eval_artifacts(params, state) if has_cache else None
@@ -274,9 +275,13 @@ class Trainer:
                     scores = model.scores_cached(params, state, u, arts)
                 else:
                     scores = model.scores(params, state, u)
-                # scatter -inf over train positives; sentinel col n_items drops
-                rows = jnp.arange(u.shape[0])[:, None]
-                scores = scores.at[rows, m].set(-1e10, mode="drop")
+                if dense_mask:
+                    # precomputed (B, n_items) bool: elementwise, no scatter
+                    scores = jnp.where(m, -1e10, scores)
+                else:
+                    # scatter -inf over train positives; col n_items drops
+                    rows = jnp.arange(u.shape[0])[:, None]
+                    scores = scores.at[rows, m].set(-1e10, mode="drop")
                 _, topk = jax.lax.top_k(scores, k_eff)
                 if k_eff < max_k:  # tiny catalogs: pad ranks with -1 (no item)
                     topk = jnp.pad(topk, ((0, 0), (0, max_k - k_eff)), constant_values=-1)
@@ -285,6 +290,29 @@ class Trainer:
             return jax.lax.map(one, (users_c, mask_c)).reshape(-1, max_k)
 
         return eval_topk
+
+    # eval masks are constant across evaluations — precompute a dense bool
+    # matrix once per eval set when it fits the budget (the per-chunk
+    # (B, max_train) scatter measured ~9ms/chunk on v5e vs ~0 for a where)
+    _DENSE_MASK_BUDGET = 512 * 1024 * 1024  # bytes (bool)
+
+    def _dense_mask(self, eval_data: EvalData):
+        key = id(eval_data)
+        cached = self._mask_cache.get(key)
+        if cached is not None:
+            return cached
+        U_pad = eval_data.users.shape[0]
+        n_items = eval_data.n_items
+        if U_pad * n_items > self._DENSE_MASK_BUDGET:
+            return None
+        rows = jnp.arange(U_pad)[:, None]
+        dense = (
+            jnp.zeros((U_pad, n_items + 1), bool)
+            .at[rows, eval_data.mask_items]
+            .set(True, mode="drop")[:, :n_items]
+        )
+        self._mask_cache[key] = dense
+        return dense
 
     # ------------------------------------------------------------------
     def fit(self, train_data, valid_data=None, test_data=None, saved=False, verbose=True):
@@ -465,9 +493,11 @@ class Trainer:
         if self._eval_fn is None:
             self._eval_fn = self._build_eval_fn()
         n_chunks = eval_data.users.shape[0] // self.eval_batch_size
-        users, mask_items = self._shard_eval_inputs(eval_data.users, eval_data.mask_items)
+        dense = self._dense_mask(eval_data)
+        mask = dense if dense is not None else eval_data.mask_items
+        users, mask = self._shard_eval_inputs(eval_data.users, mask)
         topk_index = self._eval_fn(
-            params, self._state, users, mask_items, n_chunks
+            params, self._state, users, mask, n_chunks, dense_mask=dense is not None
         )
         return self.evaluator.evaluate(
             topk_index,

@@ -52,8 +52,13 @@ class DiffGraph(RecModel):
 
         users = np.asarray(data.users).astype(np.int32)
         items = (np.asarray(data.items) + self.n_users).astype(np.int32)
-        self.src = jnp.asarray(np.concatenate([users, items]))
-        self.dst = jnp.asarray(np.concatenate([items, users]))
+        from genmmrec_tpu.ops.mp import sort_edges_by_dst
+
+        src, dst, self._pspan = sort_edges_by_dst(
+            np.concatenate([users, items]), np.concatenate([items, users]), self.N
+        )
+        self.src = jnp.asarray(src)
+        self.dst = jnp.asarray(dst)
 
         self.sched = make_schedule(
             "linear-var",
@@ -80,7 +85,7 @@ class DiffGraph(RecModel):
         deg_out = jnp.maximum(degree(self.src, self.N), 1.0)
         deg_in = jnp.maximum(degree(self.dst, self.N), 1.0)
         x = x * (deg_out ** -0.5)[:, None]
-        out = propagate(x, self.src, self.dst, self.N, "add")
+        out = propagate(x, self.src, self.dst, self.N, "add", pallas_span=self._pspan)
         out = out * (deg_in ** -0.5)[:, None]
         return jax.nn.leaky_relu(out, 0.5)
 

@@ -45,11 +45,11 @@ class DRAGON(DualGNN):
     def forward(self, params):
         v_rep = self._tower(
             params["v_preference"], params["v_mlp"], params["v_mlp1"], self.v_feat,
-            self.src_v, self.dst_v,
+            self.src_v, self.dst_v, self._span_v,
         )
         t_rep = self._tower(
             params["t_preference"], params["t_mlp"], params["t_mlp1"], self.t_feat,
-            self.src_t, self.dst_t,
+            self.src_t, self.dst_t, self._span_t,
         )
         representation = jnp.concatenate([v_rep, t_rep], axis=1)  # 'cat'
         # users: weight_u-scaled concat of tower halves (dragon.py:231-244)

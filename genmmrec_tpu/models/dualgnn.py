@@ -61,12 +61,18 @@ class DualGNN(RecModel):
         items_raw = np.asarray(data.items)
         keep_v = ~np.isin(items_raw, list(dropv))
         keep_t = ~np.isin(items_raw, list(dropt))
-        mk = lambda keep: (
-            jnp.asarray(np.concatenate([users[keep], items_n[keep]])),
-            jnp.asarray(np.concatenate([items_n[keep], users[keep]])),
-        )
-        self.src_v, self.dst_v = mk(keep_v)
-        self.src_t, self.dst_t = mk(keep_t)
+        from genmmrec_tpu.ops.mp import sort_edges_by_dst
+
+        def mk(keep):
+            s, d, span = sort_edges_by_dst(
+                np.concatenate([users[keep], items_n[keep]]),
+                np.concatenate([items_n[keep], users[keep]]),
+                self.N,
+            )
+            return jnp.asarray(s), jnp.asarray(d), span
+
+        self.src_v, self.dst_v, self._span_v = mk(keep_v)
+        self.src_t, self.dst_t, self._span_t = mk(keep_t)
 
         self._build_user_graph(config, users, items_raw)
 
@@ -145,28 +151,28 @@ class DualGNN(RecModel):
             ),
         }
 
-    def _gcn_pass(self, x, src, dst):
+    def _gcn_pass(self, x, src, dst, span=0):
         deg = degree(dst, self.N)  # reference norms by row=src degree of the
         deg_s = degree(src, self.N)
         norm = (deg_s[src] + 1e-12) ** -0.5 * (deg[dst] + 1e-12) ** -0.5
-        return propagate(x, src, dst, self.N, "add", edge_weight=norm)
+        return propagate(x, src, dst, self.N, "add", edge_weight=norm, pallas_span=span)
 
-    def _tower(self, pref, mlp, mlp1, feats, src, dst):
+    def _tower(self, pref, mlp, mlp1, feats, src, dst, span=0):
         tf = jax.nn.leaky_relu(feats @ mlp["w"].T + mlp["b"], 0.01)
         tf = tf @ mlp1["w"].T + mlp1["b"]
         x = _l2n(jnp.concatenate([pref, tf], axis=0))
-        h = self._gcn_pass(x, src, dst)
-        h1 = self._gcn_pass(h, src, dst)
+        h = self._gcn_pass(x, src, dst, span)
+        h1 = self._gcn_pass(h, src, dst, span)
         return x + h + h1
 
     def forward(self, params):
         v_rep = self._tower(
             params["v_preference"], params["v_mlp"], params["v_mlp1"], self.v_feat,
-            self.src_v, self.dst_v,
+            self.src_v, self.dst_v, self._span_v,
         )
         t_rep = self._tower(
             params["t_preference"], params["t_mlp"], params["t_mlp1"], self.t_feat,
-            self.src_t, self.dst_t,
+            self.src_t, self.dst_t, self._span_t,
         )
         representation = v_rep + t_rep
         user_stack = jnp.stack([v_rep[: self.n_users], t_rep[: self.n_users]], axis=2)

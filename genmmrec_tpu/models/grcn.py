@@ -44,8 +44,18 @@ class GRCN(RecModel):
         items = (np.asarray(data.items) + self.n_users).astype(np.int32)
         self.src_d = jnp.asarray(users)  # directed u -> i
         self.dst_d = jnp.asarray(items)
-        self.src_s = jnp.asarray(np.concatenate([users, items]))
-        self.dst_s = jnp.asarray(np.concatenate([items, users]))
+        # symmetric edges sorted by destination (Pallas segment-sum path);
+        # _perm_s maps concat layout [u->i ; i->u] -> sorted order so
+        # per-edge tensors built in concat layout can be re-aligned
+        src_s = np.concatenate([users, items])
+        dst_s = np.concatenate([items, users])
+        order = np.argsort(dst_s, kind="stable")
+        from genmmrec_tpu.ops.segment_pallas import chunk_span
+
+        self._pspan = chunk_span(dst_s[order], self.N)
+        self._perm_s = jnp.asarray(order.astype(np.int32))
+        self.src_s = jnp.asarray(src_s[order])
+        self.dst_s = jnp.asarray(dst_s[order])
         self.E = len(users)
 
     def init_params(self, key):
@@ -66,11 +76,11 @@ class GRCN(RecModel):
             "model_specific_conf": xavier_normal(ks[5], (self.N, num_modal)),
         }
 
-    def _gat_pass(self, x, src, dst):
+    def _gat_pass(self, x, src, dst, span=0):
         """Dot-product attention propagation; returns (out, alpha)."""
         scores = (x[src] * x[dst]).sum(-1)
         alpha = segment_softmax(scores, dst, self.N)
-        out = propagate(x, src, dst, self.N, "add", edge_weight=alpha)
+        out = propagate(x, src, dst, self.N, "add", edge_weight=alpha, pallas_span=span)
         return out, alpha
 
     def _cgcn(self, pref, mlp, feats):
@@ -82,7 +92,7 @@ class GRCN(RecModel):
             x_hat, _ = self._gat_pass(x, self.src_d, self.dst_d)
             preference = _l2n(preference + x_hat[: self.n_users])
         x = jnp.concatenate([preference, features], axis=0)
-        x_hat, alpha = self._gat_pass(x, self.src_s, self.dst_s)
+        x_hat, alpha = self._gat_pass(x, self.src_s, self.dst_s, self._pspan)
         return x + x_hat, alpha[:, None]
 
     def forward(self, params):
@@ -91,19 +101,27 @@ class GRCN(RecModel):
         content_rep = jnp.concatenate([v_rep, t_rep], axis=1)
         weight = jnp.concatenate([w_v, w_t], axis=1)  # (2E, 2)
 
+        # conf built in concat layout [u->i ; i->u] -> re-align to the sorted
+        # edge order that alpha/src_s/dst_s use
         conf = jnp.concatenate(
             [
                 params["model_specific_conf"][self.src_d],
                 params["model_specific_conf"][self.dst_d],
             ],
             axis=0,
-        )  # (2E, 2)
+        )[self._perm_s]  # (2E, 2)
         weight = jnp.max(weight * conf, axis=1, keepdims=True)
         weight = jax.nn.relu(weight)[:, 0]
 
         x = _l2n(params["id_embedding"])
-        x1 = propagate(x, self.src_s, self.dst_s, self.N, "add", edge_weight=weight)
-        x2 = propagate(x1, self.src_s, self.dst_s, self.N, "add", edge_weight=weight)
+        x1 = propagate(
+            x, self.src_s, self.dst_s, self.N, "add",
+            edge_weight=weight, pallas_span=self._pspan,
+        )
+        x2 = propagate(
+            x1, self.src_s, self.dst_s, self.N, "add",
+            edge_weight=weight, pallas_span=self._pspan,
+        )
         id_rep = x + x1 + x2
         return jnp.concatenate([id_rep, content_rep], axis=1)
 

@@ -42,9 +42,12 @@ class MMGCN(RecModel):
         items = np.asarray(data.items) + self.n_users
         src = np.concatenate([users, items]).astype(np.int32)
         dst = np.concatenate([items, users]).astype(np.int32)
+        self.N = self.n_users + self.n_items
+        from genmmrec_tpu.ops.mp import sort_edges_by_dst
+
+        src, dst, self._pspan = sort_edges_by_dst(src, dst, self.N)
         self.src = jnp.asarray(src)
         self.dst = jnp.asarray(dst)
-        self.N = self.n_users + self.n_items
 
     def _tower_params(self, key, dim_feat, dim_latent):
         ks = jax.random.split(key, 12)
@@ -88,7 +91,10 @@ class MMGCN(RecModel):
 
         for li in (1, 2, 3):
             h = lrelu(
-                propagate(x @ p[f"conv{li}_w"], self.src, self.dst, self.N, self.aggr)
+                propagate(
+                    x @ p[f"conv{li}_w"], self.src, self.dst, self.N, self.aggr,
+                    pallas_span=self._pspan,
+                )
             )
             x_hat = lrelu(lin(p[f"lin{li}"], x)) + id_embedding
             x = lrelu(lin(p[f"g{li}"], h) + x_hat)

@@ -16,7 +16,7 @@ import numpy as np
 
 from genmmrec_tpu.common.init import xavier_normal
 from genmmrec_tpu.models.base import RecModel, scalar
-from genmmrec_tpu.ops.mp import add_self_loops, degree, propagate
+from genmmrec_tpu.ops.mp import degree, propagate
 
 MAX_LOGVAR = 10.0
 _EPS = 1e-12
@@ -42,10 +42,13 @@ class MVGAE(RecModel):
 
         users = np.asarray(data.users).astype(np.int32)
         items = (np.asarray(data.items) + self.n_users).astype(np.int32)
-        src = np.concatenate([users, items])
-        dst = np.concatenate([items, users])
-        s, d = add_self_loops(jnp.asarray(src), jnp.asarray(dst), self.N)
-        self.src, self.dst = s, d
+        loops = np.arange(self.N, dtype=np.int32)
+        src = np.concatenate([users, items, loops])
+        dst = np.concatenate([items, users, loops])
+        from genmmrec_tpu.ops.mp import sort_edges_by_dst
+
+        src, dst, self._pspan = sort_edges_by_dst(src, dst, self.N)
+        self.src, self.dst = jnp.asarray(src), jnp.asarray(dst)
 
     def _tower_params(self, key, dim_feat):
         ks = jax.random.split(key, 16)
@@ -80,7 +83,9 @@ class MVGAE(RecModel):
         }
 
     def _conv(self, p, x, key=None):
-        h = propagate(x @ p["w"], self.src, self.dst, self.N, "mean")
+        h = propagate(
+            x @ p["w"], self.src, self.dst, self.N, "mean", pallas_span=self._pspan
+        )
         h = h + p["b"]
         h = _l2n(h)
         if key is not None:  # dropout p=0.1 in train

@@ -13,11 +13,26 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def degree(index: jnp.ndarray, num_nodes: int, weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     w = jnp.ones_like(index, dtype=jnp.float32) if weights is None else weights
     return jax.ops.segment_sum(w, index, num_segments=num_nodes)
+
+
+def sort_edges_by_dst(
+    src: np.ndarray, dst: np.ndarray, num_nodes: int
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Host-side edge preprocessing: order by destination so the segment
+    reduction is sorted and the Pallas kernel span bound applies. Returns
+    (src_sorted, dst_sorted, pallas_span); pass the span into ``propagate``.
+    Call once at model init, never inside jit."""
+    from genmmrec_tpu.ops.segment_pallas import chunk_span
+
+    order = np.argsort(dst, kind="stable")
+    src_s, dst_s = np.asarray(src)[order], np.asarray(dst)[order]
+    return src_s, dst_s, chunk_span(dst_s, num_nodes)
 
 
 def propagate(
@@ -27,15 +42,30 @@ def propagate(
     num_nodes: int,
     aggr: str = "add",
     edge_weight: Optional[jnp.ndarray] = None,
+    pallas_span: int = 0,
 ) -> jnp.ndarray:
-    """out[d] = aggr_{(s,d)∈E} w_sd * x[s]."""
+    """out[d] = aggr_{(s,d)∈E} w_sd * x[s].
+
+    With ``pallas_span > 0`` (edges pre-sorted by dst via
+    ``sort_edges_by_dst``) the add/mean reductions run on the Pallas
+    sorted-segment-sum kernel instead of XLA's serialized scatter."""
     msgs = x[src]
     if edge_weight is not None:
         msgs = msgs * edge_weight[:, None]
+    use_pallas = pallas_span > 0 and jax.default_backend() != "cpu"
     if aggr == "add":
+        if use_pallas:
+            from genmmrec_tpu.ops.segment_pallas import sorted_segment_sum
+
+            return sorted_segment_sum(msgs, dst, num_nodes, pallas_span)
         return jax.ops.segment_sum(msgs, dst, num_segments=num_nodes)
     if aggr == "mean":
-        s = jax.ops.segment_sum(msgs, dst, num_segments=num_nodes)
+        if use_pallas:
+            from genmmrec_tpu.ops.segment_pallas import sorted_segment_sum
+
+            s = sorted_segment_sum(msgs, dst, num_nodes, pallas_span)
+        else:
+            s = jax.ops.segment_sum(msgs, dst, num_segments=num_nodes)
         d = degree(dst, num_nodes)
         return s / jnp.maximum(d, 1.0)[:, None]
     if aggr == "max":
