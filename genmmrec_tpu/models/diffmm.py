@@ -139,8 +139,15 @@ class DiffMM(RecModel):
     def _modal_graph(self, state, modality) -> SparseGraph:
         g = state[f"{modality}_ui"]
         N = self.n_users + self.n_items
+        # rebuild_ui_graph row-sorts the edges and pairs the dropout, so the
+        # regenerated graphs ride the Pallas kernel both ways. The span bound
+        # is static: self-loops keep every row non-empty, so a CHUNK-edge
+        # window never spans more than CHUNK (+16 alignment slack) rows.
+        from genmmrec_tpu.ops.segment_pallas import CHUNK
+
         return SparseGraph(
-            rows=g["rows"], cols=g["cols"], vals=g["vals"], n_rows=N, n_cols=N, sorted=False
+            rows=g["rows"], cols=g["cols"], vals=g["vals"], n_rows=N, n_cols=N,
+            sorted=True, pallas_span=CHUNK + 16, symmetric=True,
         )
 
     def forward_MM(self, params, state) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -314,17 +321,27 @@ class DiffMM(RecModel):
         dis = jnp.where(deg > 0, deg**-0.5, 0.0)
         vals = dis[rows] * dis[cols]
         if self.keep_rate < 1.0:
-            mask = jax.random.bernoulli(key, self.keep_rate, vals.shape)
+            # PAIRED dropout: one mask per undirected UI edge, applied to
+            # both directions (the reference drops each direction
+            # independently, `diffmm.py:287-301`, which breaks value
+            # symmetry; pairing keeps Aᵀ == A so the backward transpose
+            # product rides the Pallas kernel — same marginal keep_rate)
+            k_ui, k_loop = jax.random.split(key)
+            m_ui = jax.random.bernoulli(k_ui, self.keep_rate, (U * k,))
+            m_loop = jax.random.bernoulli(k_loop, self.keep_rate, (N,))
+            mask = jnp.concatenate([m_ui, m_ui, m_loop])
             vals = jnp.where(mask, vals / self.keep_rate, 0.0)
-        return {"rows": rows, "cols": cols, "vals": vals}
+        # row-sort once per regeneration so every batch's propagation uses
+        # the sorted-scatter kernel
+        order = jnp.argsort(rows, stable=True)
+        return {"rows": rows[order], "cols": cols[order], "vals": vals[order]}
 
     def init_state(self, key):
         """Self-loop-only graphs until the first regeneration (the reference
         would return zero loss if training ran before phase 2)."""
         topk0 = jnp.zeros((self.n_users, self.rebuild_k), jnp.int32)
         g = self.rebuild_ui_graph(topk0, key)
-        # zero out the placeholder UI edges, keep self loops
-        n_ui = 2 * self.n_users * self.rebuild_k
-        vals = g["vals"].at[:n_ui].set(0.0)
+        # zero out the placeholder UI edges, keep self loops (rows == cols)
+        vals = jnp.where(g["rows"] == g["cols"], g["vals"], 0.0)
         g = {**g, "vals": vals}
         return {"image_ui": dict(g), "text_ui": dict(g)}

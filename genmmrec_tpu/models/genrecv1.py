@@ -204,8 +204,12 @@ class GenRecV1(RecModel):
     def _gen_graph(self, state) -> SparseGraph:
         g = state["image_ui"]
         N = self.n_users + self.n_items
+        # rebuild_ui_graph row-sorts + pairs dropout (see DiffMM._modal_graph)
+        from genmmrec_tpu.ops.segment_pallas import CHUNK
+
         return SparseGraph(
-            rows=g["rows"], cols=g["cols"], vals=g["vals"], n_rows=N, n_cols=N, sorted=False
+            rows=g["rows"], cols=g["cols"], vals=g["vals"], n_rows=N, n_cols=N,
+            sorted=True, pallas_span=CHUNK + 16, symmetric=True,
         )
 
     def forward(self, params, state, key=None):
@@ -354,12 +358,18 @@ class GenRecV1(RecModel):
         dis = jnp.where(deg > 0, deg**-0.5, 0.0)
         vals = dis[rows] * dis[cols]
         if self.keep_rate < 1.0:
-            mask = jax.random.bernoulli(key, self.keep_rate, vals.shape)
+            # paired dropout keeps Aᵀ == A (see DiffMM.rebuild_ui_graph)
+            k_ui, k_loop = jax.random.split(key)
+            m_ui = jax.random.bernoulli(k_ui, self.keep_rate, (U * k,))
+            m_loop = jax.random.bernoulli(k_loop, self.keep_rate, (N,))
+            mask = jnp.concatenate([m_ui, m_ui, m_loop])
             vals = jnp.where(mask, vals / self.keep_rate, 0.0)
-        return {"rows": rows, "cols": cols, "vals": vals}
+        order = jnp.argsort(rows, stable=True)
+        return {"rows": rows[order], "cols": cols[order], "vals": vals[order]}
 
     def init_state(self, key):
         topk0 = jnp.zeros((self.n_users, self.rebuild_k), jnp.int32)
         g = self.rebuild_ui_graph(topk0, key)
-        n_ui = 2 * self.n_users * self.rebuild_k
-        return {"image_ui": {**g, "vals": g["vals"].at[:n_ui].set(0.0)}}
+        # zero placeholder UI edges, keep self loops (rows == cols)
+        vals = jnp.where(g["rows"] == g["cols"], g["vals"], 0.0)
+        return {"image_ui": {**g, "vals": vals}}

@@ -330,6 +330,17 @@ class MVDiff(RecModel):
             rows=g["rows"], cols=g["cols"], vals=g["vals"], n_rows=n, n_cols=n, sorted=False
         )
 
+    def _ui_state_graph(self, g) -> SparseGraph:
+        """Regenerated UI graphs are row-sorted with paired dropout (see
+        DiffMM._modal_graph) so they ride the Pallas kernel both ways."""
+        from genmmrec_tpu.ops.segment_pallas import CHUNK
+
+        N = self.n_users + self.n_items
+        return SparseGraph(
+            rows=g["rows"], cols=g["cols"], vals=g["vals"], n_rows=N, n_cols=N,
+            sorted=True, pallas_span=CHUNK + 16, symmetric=True,
+        )
+
     def rebuild_ui_graph(self, topk_items, key):
         U, k = topk_items.shape
         N = self.n_users + self.n_items
@@ -342,9 +353,14 @@ class MVDiff(RecModel):
         dis = jnp.where(deg > 0, deg**-0.5, 0.0)
         vals = dis[rows] * dis[cols]
         if self.keep_rate < 1.0:
-            mask = jax.random.bernoulli(key, self.keep_rate, vals.shape)
+            # paired dropout keeps Aᵀ == A (see DiffMM.rebuild_ui_graph)
+            k_ui, k_loop = jax.random.split(key)
+            m_ui = jax.random.bernoulli(k_ui, self.keep_rate, (U * k,))
+            m_loop = jax.random.bernoulli(k_loop, self.keep_rate, (N,))
+            mask = jnp.concatenate([m_ui, m_ui, m_loop])
             vals = jnp.where(mask, vals / self.keep_rate, 0.0)
-        return {"rows": rows, "cols": cols, "vals": vals}
+        order = jnp.argsort(rows, stable=True)
+        return {"rows": rows[order], "cols": cols[order], "vals": vals[order]}
 
     def build_ii_graph(self, feats):
         """(dense_knn, sparse_edges) from features, knn_k, sym-normalized."""
@@ -364,7 +380,8 @@ class MVDiff(RecModel):
         k_img = self.rebuild_k + self.high_order_topk
         g_img = self.rebuild_ui_graph(jnp.zeros((U, k_img), jnp.int32), key)
         g_txt = self.rebuild_ui_graph(jnp.zeros((U, self.rebuild_k), jnp.int32), key)
-        z = lambda g, nk: {**g, "vals": g["vals"].at[: 2 * U * nk].set(0.0)}
+        # zero placeholder UI edges, keep self loops (rows == cols)
+        z = lambda g, nk: {**g, "vals": jnp.where(g["rows"] == g["cols"], g["vals"], 0.0)}
         nk = min(self.knn_k, self.n_items)
         empty_ii = {
             "rows": jnp.zeros((self.n_items * nk,), jnp.int32),
@@ -392,8 +409,8 @@ class MVDiff(RecModel):
 
         ego = jnp.concatenate([rec["user_embedding"], rec["item_id_embedding"]], axis=0)
         acc, x = ego, ego
-        g_img_ui = self._state_graph(state["image_ui"], N)
-        g_txt_ui = self._state_graph(state["text_ui"], N)
+        g_img_ui = self._ui_state_graph(state["image_ui"])
+        g_txt_ui = self._ui_state_graph(state["text_ui"])
         for _ in range(self.gcn_layer_num):
             x = spmm(self.norm_adj, x) + spmm(g_img_ui, x) + spmm(g_txt_ui, x)
             acc = acc + x
