@@ -134,6 +134,12 @@ def build_debias_tables(
         masked = np.where(txt_counts > 0, txt_counts, np.inf)
         minfreq = masked.min(axis=1)
         minfreq = np.where(np.isfinite(minfreq), minfreq, 0.0)
+    # item-cluster indicator matrices: expanding per-user cluster rows to
+    # per-item columns becomes an MXU matmul instead of a (B, I) gather
+    img_onehot = np.zeros((Ki, len(image_labels)), np.float32)
+    img_onehot[image_labels, np.arange(len(image_labels))] = 1.0
+    txt_onehot = np.zeros((Kt, len(text_labels)), np.float32)
+    txt_onehot[text_labels, np.arange(len(text_labels))] = 1.0
     return {
         "img_member": jnp.asarray(img_member),
         "txt_member": jnp.asarray(txt_member),
@@ -141,6 +147,8 @@ def build_debias_tables(
         "txt_minfreq": jnp.asarray(minfreq.astype(np.float32)),
         "img_labels": jnp.asarray(image_labels.astype(np.int32)),
         "txt_labels": jnp.asarray(text_labels.astype(np.int32)),
+        "img_onehot": jnp.asarray(img_onehot),
+        "txt_onehot": jnp.asarray(txt_onehot),
     }
 
 
@@ -158,13 +166,18 @@ def interest_debias(
     flip10 = origin > generated
     sampled = jax.random.bernoulli(key, sample_ratio, (B, I))
 
-    img_lab = tables["img_labels"][None, :].repeat(B, 0)  # (B, I)
-    txt_lab = tables["txt_labels"][None, :].repeat(B, 0)
-    img_ok = jnp.take_along_axis(tables["img_member"][users], img_lab, axis=1)
-    txt_ok = jnp.take_along_axis(tables["txt_member"][users], txt_lab, axis=1)
+    # per-user cluster rows -> per-item columns via indicator matmuls (the
+    # (B, I) take_along_axis gather measured seconds per regen on v5e)
+    img_ok = (tables["img_member"][users].astype(jnp.float32) @ tables["img_onehot"]) > 0
+    txt_ok = (tables["txt_member"][users].astype(jnp.float32) @ tables["txt_onehot"]) > 0
     keep01 = (img_ok | txt_ok).astype(generated.dtype)
 
-    freq = jnp.take_along_axis(tables["txt_counts"][users], txt_lab, axis=1)
+    # counts can exceed bf16's exact-integer range; keep this matmul f32
+    freq = jnp.dot(
+        tables["txt_counts"][users],
+        tables["txt_onehot"],
+        precision=jax.lax.Precision.HIGHEST,
+    )
     minf = tables["txt_minfreq"][users][:, None]
     # accept removal (stay 0) when the cluster was rarely interacted
     keep10 = jnp.where(freq <= minf + 1.0, 0.0, 1.0).astype(generated.dtype)

@@ -176,6 +176,19 @@ class Trainer:
 
         grad_fn = jax.value_and_grad(model.loss_and_update, has_aux=True)
 
+        # multi-chip: batches split over the mesh data axis (params stay
+        # replicated; XLA inserts the psum over per-shard gradients)
+        batch_sharding = None
+        if jax.device_count() > 1:
+            try:
+                from genmmrec_tpu.parallel.mesh import build_mesh, data_sharding
+
+                mesh = build_mesh(self.config)
+                if B % mesh.shape["data"] == 0:
+                    batch_sharding = data_sharding(mesh)
+            except (ValueError, RuntimeError):
+                batch_sharding = None
+
         def batch_step(carry, xs):
             params, opt_state, state = carry
             raw_idx, key, batch_i = xs
@@ -192,6 +205,11 @@ class Trainer:
             else:  # e.g. BM3 (use_neg_sampling: False) — negatives unused
                 neg = jnp.zeros_like(pos)
             batch = {"users": users, "pos": pos, "neg": neg, "weight": weight}
+            if batch_sharding is not None:
+                batch = {
+                    k: jax.lax.with_sharding_constraint(v, batch_sharding)
+                    for k, v in batch.items()
+                }
             (total, (parts, state)), grads = grad_fn(params, state, batch, k_loss)
 
             if mg:

@@ -26,7 +26,9 @@ from genmmrec_tpu.models.diffusion.dnn import timestep_embedding
 def _linear(key, d_in, d_out, bias=True):
     p = {"w": xavier_uniform(key, (d_out, d_in))}
     if bias:
-        p["b"] = jnp.full((d_out,), 0.01)
+        # explicit dtype: a weak-typed init would flip the optimizer-state
+        # avals strong after one update and force a jit retrace
+        p["b"] = jnp.full((d_out,), 0.01, dtype=jnp.float32)
     return p
 
 
@@ -68,7 +70,7 @@ def init_modal_denoise(
                 "sa_o": _linear(lk[1], d, d),
                 "ln1": _ln_params(d),
                 # cross-attn vs zero memory: constant out_proj(b_v2) + b_o2
-                "ca_bv": jnp.full((d,), 0.01),
+                "ca_bv": jnp.full((d,), 0.01, dtype=jnp.float32),
                 "ca_o": _linear(lk[2], d, d),
                 "ln2": _ln_params(d),
                 "ff1": _linear(lk[3], d, d),
