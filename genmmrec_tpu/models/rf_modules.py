@@ -59,7 +59,11 @@ class RFConfig:
 
     @classmethod
     def from_config(cls, config, n_users, n_items, embedding_dim):
-        g = lambda k, d: config[k] if config[k] is not None else d
+        def g(k, d):
+            v = config[k] if config[k] is not None else d
+            # hyper-grid lists resolve to their first entry when the grid
+            # loop is bypassed (tests / direct construction)
+            return v[0] if isinstance(v, list) else v
         return cls(
             embedding_dim=embedding_dim,
             hidden_dim=int(g("rf_hidden_dim", 128)),
@@ -301,8 +305,8 @@ def init_causal_denoiser(key, embedding_dim: int, n_layers: int = 2):
 
     ks = jax.random.split(key, n_layers)
     return {
-        "alpha": jnp.asarray(1.0),
-        "beta": jnp.asarray(0.0),
+        "alpha": jnp.asarray(1.0, dtype=jnp.float32),  # explicit: weak types retrace
+        "beta": jnp.asarray(0.0, dtype=jnp.float32),
         "denoise_W": [
             {"w": xavier_normal(ks[i], (embedding_dim, embedding_dim)), "b": jnp.zeros((embedding_dim,))}
             for i in range(n_layers)
