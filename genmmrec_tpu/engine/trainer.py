@@ -347,6 +347,35 @@ class Trainer:
         self._state = self.model.init_state(k_state)
         optimizer, train_epoch = self._build_train_step(td)
         opt_state = optimizer.init(params)
+
+        # resume (the reference saves checkpoints but never wires a resume
+        # path, `src/common/trainer.py:97`)
+        resume = self.config["resume_checkpoint"]
+        if resume:
+            from genmmrec_tpu.engine.checkpoint import load_checkpoint
+
+            ck = load_checkpoint(str(resume))
+            to_dev = lambda ref, saved: jax.tree_util.tree_map(
+                lambda r, s: jnp.asarray(s).astype(r.dtype)
+                if hasattr(r, "dtype")
+                else s,
+                ref,
+                saved,
+            )
+            params = to_dev(params, ck["params"])
+            opt_state = to_dev(opt_state, ck["opt_state"])
+            self._state = to_dev(self._state, ck["state"])
+            self.start_epoch = int(ck["epoch"]) + 1
+            self.best_valid_score = float(ck["best_valid_score"])
+            if "best_valid_result" in ck:
+                self.best_valid_result = ck["best_valid_result"]
+            if "best_test_upon_valid" in ck:
+                self.best_test_upon_valid = ck["best_test_upon_valid"]
+            self.logger.info(
+                "Resumed from %s at epoch %d (best valid %.4f)",
+                resume, self.start_epoch, self.best_valid_score,
+            )
+
         self._eval_fn = self._build_eval_fn()
         pre_epoch = jax.jit(self.model.pre_epoch)
 
@@ -541,6 +570,8 @@ class Trainer:
             state=self._state,
             epoch=epoch,
             best_valid_score=self.best_valid_score,
+            best_valid_result=self.best_valid_result,
+            best_test_upon_valid=self.best_test_upon_valid,
         )
         self.logger.info("Saved best model to %s", path)
 

@@ -98,3 +98,36 @@ def test_eval_masking_excludes_train_items(tiny_splits):
             continue
         train_items = set(mask[row][mask[row] < td.n_items].tolist())
         assert not train_items & set(topk[row][:k_check].tolist())
+
+
+def test_checkpoint_resume(tiny_splits, tmp_path):
+    """Save at epoch k, resume in a fresh trainer, and continue to the same
+    final epoch count (the reference saves but never wires resume)."""
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.data.arrays import build_eval_data, build_train_data
+    from genmmrec_tpu.engine.trainer import Trainer
+    from genmmrec_tpu.models import get_model
+
+    _, ds, train_ds, valid_ds, test_ds = tiny_splits
+    base = {
+        "save_recommended_topk": False,
+        "checkpoint_dir": str(tmp_path / "saved"),
+        "stopping_step": 50,
+        "epochs": 2,
+    }
+    config = Config("BPR", "tiny", base)
+    train_data = build_train_data(train_ds)
+    valid_data = build_eval_data(valid_ds, train_ds, int(config["eval_batch_size"]))
+    model = get_model("BPR")(config, train_data)
+    trainer = Trainer(config, model)
+    trainer.fit(train_data, valid_data, None, saved=True, verbose=False)
+    ckpt = str(tmp_path / "saved" / "BPR-tiny")
+
+    config2 = Config(
+        "BPR", "tiny", {**base, "epochs": 4, "resume_checkpoint": ckpt}
+    )
+    model2 = get_model("BPR")(config2, train_data)
+    trainer2 = Trainer(config2, model2)
+    score, valid_res, _ = trainer2.fit(train_data, valid_data, None, saved=False, verbose=False)
+    assert trainer2.start_epoch >= 1  # resumed past the saved epoch
+    assert "recall@20" in valid_res
