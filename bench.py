@@ -205,13 +205,71 @@ def reference_torch_cpu_estimate(stats, sample_batches: int = 2) -> float:
     return t_p1 + t_p2 + t_p3 + t_eval
 
 
+def run_genrecv1(dataset: str):
+    """Secondary headline (BASELINE.md): GenRec-V1 epoch+eval wall-clock,
+    reported as a comment line; the JSON line stays DiffMM."""
+    import jax
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.data.arrays import build_eval_data, build_train_data
+    from genmmrec_tpu.data.dataset import RecDataset
+    from genmmrec_tpu.engine.diffusion_trainers import GenRecV1Trainer
+    from genmmrec_tpu.models import get_model
+
+    config = Config(
+        "GenRecV1", dataset, {"save_recommended_topk": False, "use_wandb": False}
+    )
+    for k in config["hyper_parameters"]:
+        v = config[k]
+        if isinstance(v, list):
+            config[k] = v[0]
+    ds = RecDataset(config)
+    train_ds, valid_ds, _ = ds.split()
+    td = build_train_data(train_ds)
+    vd = build_eval_data(valid_ds, train_ds, int(config["eval_batch_size"]))
+    model = get_model("GenRecV1")(config, td)
+    trainer = GenRecV1Trainer(config, model)
+    key = jax.random.PRNGKey(0)
+    params = model.init_params(key)
+    trainer._state = model.init_state(key)
+    _, train_epoch = trainer._build_train_step(td)
+    opt = trainer._make_optimizer()
+    opt_state = opt.init(params)
+
+    def one_epoch(params, opt_state, seed):
+        k = jax.random.PRNGKey(seed)
+        params = trainer._epoch_prelude(params, k, seed)
+        params, opt_state, trainer._state, totals = train_epoch(
+            params, opt_state, trainer._state, k
+        )
+        jax.block_until_ready(totals)
+        return params, opt_state
+
+    params, opt_state = one_epoch(params, opt_state, 0)  # compile
+    params, opt_state = one_epoch(params, opt_state, 1)  # type fixpoint
+    trainer.evaluate(params, vd)
+    t0 = time.time()
+    params, opt_state = one_epoch(params, opt_state, 2)
+    t_epoch = time.time() - t0
+    t0 = time.time()
+    trainer.evaluate(params, vd)
+    t_eval = time.time() - t0
+    return t_epoch, t_eval
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="baby")
     ap.add_argument("--quick", action="store_true", help="tiny dataset sanity run")
+    ap.add_argument(
+        "--genrecv1", action="store_true", help="also time GenRec-V1 (comment line)"
+    )
     args = ap.parse_args()
 
     dataset = "tiny" if args.quick else args.dataset
+    if args.genrecv1:
+        g_epoch, g_eval = run_genrecv1(dataset)
+        print(f"# genrecv1: epoch={g_epoch:.2f}s eval={g_eval:.2f}s")
     stats = run_ours(dataset, args.quick)
     ours = stats["epoch_s"] + stats["eval_s"]
     try:
