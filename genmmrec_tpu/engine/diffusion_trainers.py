@@ -73,45 +73,57 @@ class DiffMMTrainer(Trainer):
             return (dn_img, dn_txt, opt_i, opt_t, i_embeds, img_feats, txt_feats), (li, lt)
 
         @jax.jit
-        def diffusion_epoch(params, opt_i, opt_t, key):
-            k_perm, k_scan = jax.random.split(key)
-            perm = jax.random.permutation(k_perm, U_pad)
-            batches = perm.reshape(self._n_user_batches, B).astype(jnp.int32)
-            keys = jax.random.split(k_scan, self._n_user_batches)
-            i_embeds = jax.lax.stop_gradient(params["rec"]["iEmbeds"])
-            img_feats = jax.lax.stop_gradient(model.get_image_feats(params))
-            txt_feats = jax.lax.stop_gradient(model.get_text_feats(params))
-            carry = (
-                params["denoise_image"],
-                params["denoise_text"],
-                opt_i,
-                opt_t,
-                i_embeds,
-                img_feats,
-                txt_feats,
-            )
-            carry, (li, lt) = jax.lax.scan(diffusion_batch, carry, (batches, keys))
+        def diffusion_epoch_impl(params, opt_i, opt_t, key, buffers):
+            with model.bound(buffers):
+                k_perm, k_scan = jax.random.split(key)
+                perm = jax.random.permutation(k_perm, U_pad)
+                batches = perm.reshape(self._n_user_batches, B).astype(jnp.int32)
+                keys = jax.random.split(k_scan, self._n_user_batches)
+                i_embeds = jax.lax.stop_gradient(params["rec"]["iEmbeds"])
+                img_feats = jax.lax.stop_gradient(model.get_image_feats(params))
+                txt_feats = jax.lax.stop_gradient(model.get_text_feats(params))
+                carry = (
+                    params["denoise_image"],
+                    params["denoise_text"],
+                    opt_i,
+                    opt_t,
+                    i_embeds,
+                    img_feats,
+                    txt_feats,
+                )
+                carry, (li, lt) = jax.lax.scan(diffusion_batch, carry, (batches, keys))
             new_params = {**params, "denoise_image": carry[0], "denoise_text": carry[1]}
             return new_params, carry[2], carry[3], li.sum(), lt.sum()
 
         @jax.jit
-        def regenerate(params, key):
-            k_img, k_txt = jax.random.split(key)
-            users = jnp.arange(U_pad, dtype=jnp.int32).reshape(self._n_user_batches, B)
+        def regenerate_impl(params, key, buffers):
+            with model.bound(buffers):
+                k_img, k_txt = jax.random.split(key)
+                users = jnp.arange(U_pad, dtype=jnp.int32).reshape(
+                    self._n_user_batches, B
+                )
 
-            def topk_for(dn_params):
-                def one(u):
-                    x_start = user_vectors(jnp.minimum(u, U - 1))
-                    denoised = model.p_sample_users(dn_params, x_start)
-                    _, idx = jax.lax.top_k(denoised, model.rebuild_k)
-                    return idx
+                def topk_for(dn_params):
+                    def one(u):
+                        x_start = user_vectors(jnp.minimum(u, U - 1))
+                        denoised = model.p_sample_users(dn_params, x_start)
+                        _, idx = jax.lax.top_k(denoised, model.rebuild_k)
+                        return idx
 
-                return jax.lax.map(one, users).reshape(U_pad, model.rebuild_k)[:U]
+                    return jax.lax.map(one, users).reshape(U_pad, model.rebuild_k)[:U]
 
-            g_img = model.rebuild_ui_graph(topk_for(params["denoise_image"]), k_img)
-            g_txt = model.rebuild_ui_graph(topk_for(params["denoise_text"]), k_txt)
+                g_img = model.rebuild_ui_graph(topk_for(params["denoise_image"]), k_img)
+                g_txt = model.rebuild_ui_graph(topk_for(params["denoise_text"]), k_txt)
             return {"image_ui": g_img, "text_ui": g_txt}
 
+        def diffusion_epoch(params, opt_i, opt_t, key):
+            return diffusion_epoch_impl(params, opt_i, opt_t, key, model.buffers())
+
+        def regenerate(params, key):
+            return regenerate_impl(params, key, model.buffers())
+
+        diffusion_epoch._cache_size = diffusion_epoch_impl._cache_size
+        regenerate._cache_size = regenerate_impl._cache_size
         self._diffusion_epoch = diffusion_epoch
         self._regenerate = regenerate
         self._diff_built = True
@@ -220,20 +232,21 @@ class GenRecV1Trainer(Trainer):
             return (dn, opt_s, i_embeds, img_feats, txt_feats), l
 
         @jax.jit
-        def diffusion_epoch(params, opt_s, key):
-            k_perm, k_scan = jax.random.split(key)
-            perm = jax.random.permutation(k_perm, U_pad)
-            batches = perm.reshape(self._n_user_batches, B).astype(jnp.int32)
-            keys = jax.random.split(k_scan, self._n_user_batches)
-            i_embeds = jax.lax.stop_gradient(params["rec"]["item_id_embedding"])
-            img_feats = jax.lax.stop_gradient(model.get_image_feats(params))
-            txt_feats = jax.lax.stop_gradient(model.get_text_feats(params))
-            carry = (params["denoise_image"], opt_s, i_embeds, img_feats, txt_feats)
-            carry, losses = jax.lax.scan(diffusion_batch, carry, (batches, keys))
+        def diffusion_epoch_impl(params, opt_s, key, buffers):
+            with model.bound(buffers):
+                k_perm, k_scan = jax.random.split(key)
+                perm = jax.random.permutation(k_perm, U_pad)
+                batches = perm.reshape(self._n_user_batches, B).astype(jnp.int32)
+                keys = jax.random.split(k_scan, self._n_user_batches)
+                i_embeds = jax.lax.stop_gradient(params["rec"]["item_id_embedding"])
+                img_feats = jax.lax.stop_gradient(model.get_image_feats(params))
+                txt_feats = jax.lax.stop_gradient(model.get_text_feats(params))
+                carry = (params["denoise_image"], opt_s, i_embeds, img_feats, txt_feats)
+                carry, losses = jax.lax.scan(diffusion_batch, carry, (batches, keys))
             return {**params, "denoise_image": carry[0]}, carry[1], losses.sum()
 
         @jax.jit
-        def regenerate(params, key):
+        def regenerate_impl(params, key, buffers):
             k_gen, k_debias, k_drop = jax.random.split(key, 3)
             users = jnp.arange(U_pad, dtype=jnp.int32).reshape(self._n_user_batches, B)
             gen_keys = jax.random.split(k_gen, self._n_user_batches)
@@ -256,11 +269,20 @@ class GenRecV1Trainer(Trainer):
                     kd, u, x_start, blended, debias_tables, sample_ratio
                 )
 
-            topk = jax.lax.map(one, (users, gen_keys, db_keys)).reshape(
-                U_pad, model.rebuild_k
-            )[:U]
-            return {"image_ui": model.rebuild_ui_graph(topk, k_drop)}
+            with model.bound(buffers):
+                topk = jax.lax.map(one, (users, gen_keys, db_keys)).reshape(
+                    U_pad, model.rebuild_k
+                )[:U]
+                return {"image_ui": model.rebuild_ui_graph(topk, k_drop)}
 
+        def diffusion_epoch(params, opt_s, key):
+            return diffusion_epoch_impl(params, opt_s, key, model.buffers())
+
+        def regenerate(params, key):
+            return regenerate_impl(params, key, model.buffers())
+
+        diffusion_epoch._cache_size = diffusion_epoch_impl._cache_size
+        regenerate._cache_size = regenerate_impl._cache_size
         self._diffusion_epoch = diffusion_epoch
         self._regenerate = regenerate
         self._diff_built = True
@@ -346,7 +368,11 @@ class MVDiffTrainer(Trainer):
             return (p_img, p_txt, oi, ot), (lv, lw)
 
         @jax.jit
-        def feat_epoch(params, oi, ot, key):
+        def feat_epoch_impl(params, oi, ot, key, buffers):
+            with model.bound(buffers):
+                return _feat_epoch_body(params, oi, ot, key)
+
+        def _feat_epoch_body(params, oi, ot, key):
             k_perm, k_scan = jax.random.split(key)
             perm = jax.random.permutation(k_perm, I_pad).reshape(
                 self._n_item_batches, B
@@ -363,7 +389,11 @@ class MVDiffTrainer(Trainer):
 
         # ---- phase 2: regenerate features + II graphs -----------------
         @jax.jit
-        def regen_ii(params):
+        def regen_ii_impl(params, buffers):
+            with model.bound(buffers):
+                return _regen_ii_body(params)
+
+        def _regen_ii_body(params):
             den_img = model.feat_p_sample(
                 params["feat_denoise_image"], model.v_feat, model.t_feat, "image"
             ) + model.v_feat
@@ -405,7 +435,11 @@ class MVDiffTrainer(Trainer):
             return (dn_i, dn_t, oi, ot, i_emb, img_f, txt_f), (li, lt)
 
         @jax.jit
-        def ui_epoch(params, oi, ot, key):
+        def ui_epoch_impl(params, oi, ot, key, buffers):
+            with model.bound(buffers):
+                return _ui_epoch_body(params, oi, ot, key)
+
+        def _ui_epoch_body(params, oi, ot, key):
             k_perm, k_scan = jax.random.split(key)
             perm = jax.random.permutation(k_perm, U_pad).reshape(
                 self._n_user_batches, B
@@ -422,7 +456,11 @@ class MVDiffTrainer(Trainer):
 
         # ---- phase 4: rebuild UI graphs -------------------------------
         @jax.jit
-        def regen_ui(params, state, key):
+        def regen_ui_impl(params, state, key, buffers):
+            with model.bound(buffers):
+                return _regen_ui_body(params, state, key)
+
+        def _regen_ui_body(params, state, key):
             k_img, k_txt = jax.random.split(key)
             users = jnp.arange(U_pad, dtype=jnp.int32).reshape(self._n_user_batches, B)
             rk = model.rebuild_k
@@ -456,6 +494,22 @@ class MVDiffTrainer(Trainer):
                 "text_ui": model.rebuild_ui_graph(txt_items, k_txt),
             }
 
+        def feat_epoch(params, oi, ot, key):
+            return feat_epoch_impl(params, oi, ot, key, model.buffers())
+
+        def regen_ii(params):
+            return regen_ii_impl(params, model.buffers())
+
+        def ui_epoch(params, oi, ot, key):
+            return ui_epoch_impl(params, oi, ot, key, model.buffers())
+
+        def regen_ui(params, state, key):
+            return regen_ui_impl(params, state, key, model.buffers())
+
+        feat_epoch._cache_size = feat_epoch_impl._cache_size
+        regen_ii._cache_size = regen_ii_impl._cache_size
+        ui_epoch._cache_size = ui_epoch_impl._cache_size
+        regen_ui._cache_size = regen_ui_impl._cache_size
         self._feat_epoch = feat_epoch
         self._regen_ii = regen_ii
         self._ui_epoch = ui_epoch

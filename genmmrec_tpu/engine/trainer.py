@@ -190,17 +190,20 @@ class Trainer:
                 batch_sharding = None
 
         def batch_step(carry, xs):
+            # model.data is the trace-time BOUND TrainData (a jit argument,
+            # not a closure constant — see RecModel.buffers)
+            td_b = model.data
             params, opt_state, state = carry
             raw_idx, key, batch_i = xs
             k_neg, k_loss, k_loss2 = jax.random.split(key, 3)
             # raw_idx >= n_inter are padding slots: clamp to 0 and weight 0
             weight = (raw_idx < n_inter).astype(jnp.float32)
             idx = raw_idx % n_inter
-            users = td.users[idx]
-            pos = td.items[idx]
+            users = td_b.users[idx]
+            pos = td_b.items[idx]
             if use_neg:
                 neg = sample_negatives(
-                    k_neg, users, td.hist, td.item_pool, td.n_pool, neg_rounds
+                    k_neg, users, td_b.hist, td_b.item_pool, td_b.n_pool, neg_rounds
                 )
             else:  # e.g. BM3 (use_neg_sampling: False) — negatives unused
                 neg = jnp.zeros_like(pos)
@@ -247,20 +250,25 @@ class Trainer:
         num_batches = self._num_batches
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_epoch(params, opt_state, state, key):
-            k_perm, k_scan = jax.random.split(key)
-            perm = jax.random.permutation(k_perm, n_pad)
-            idxs = perm.reshape(num_batches, B)
-            keys = jax.random.split(k_scan, num_batches)
-            batch_ids = jnp.arange(num_batches)
-            (params, opt_state, state), parts = jax.lax.scan(
-                batch_step,
-                (params, opt_state, state),
-                (idxs, keys, batch_ids),
-            )
-            totals = parts.sum(axis=0)  # summed per-part losses over batches
+        def train_epoch_impl(params, opt_state, state, key, buffers):
+            with model.bound(buffers):
+                k_perm, k_scan = jax.random.split(key)
+                perm = jax.random.permutation(k_perm, n_pad)
+                idxs = perm.reshape(num_batches, B)
+                keys = jax.random.split(k_scan, num_batches)
+                batch_ids = jnp.arange(num_batches)
+                (params, opt_state, state), parts = jax.lax.scan(
+                    batch_step,
+                    (params, opt_state, state),
+                    (idxs, keys, batch_ids),
+                )
+                totals = parts.sum(axis=0)  # summed per-part losses
             return params, opt_state, state, totals
 
+        def train_epoch(params, opt_state, state, key):
+            return train_epoch_impl(params, opt_state, state, key, model.buffers())
+
+        train_epoch._cache_size = train_epoch_impl._cache_size
         return optimizer, train_epoch
 
     # ------------------------------------------------------------------
@@ -282,30 +290,39 @@ class Trainer:
         )
 
         @partial(jax.jit, static_argnames=("n_chunks", "dense_mask"))
+        def eval_topk_impl(params, state, users, mask_items, buffers, n_chunks, dense_mask=False):
+            with model.bound(buffers):
+                users_c = users.reshape(n_chunks, B)
+                mask_c = mask_items.reshape(n_chunks, B, -1)
+                arts = model.eval_artifacts(params, state) if has_cache else None
+
+                def one(args):
+                    u, m = args
+                    if has_cache:
+                        scores = model.scores_cached(params, state, u, arts)
+                    else:
+                        scores = model.scores(params, state, u)
+                    if dense_mask:
+                        # precomputed (B, n_items) bool: elementwise, no scatter
+                        scores = jnp.where(m, -1e10, scores)
+                    else:
+                        # scatter -inf over train positives; col n_items drops
+                        rows = jnp.arange(u.shape[0])[:, None]
+                        scores = scores.at[rows, m].set(-1e10, mode="drop")
+                    _, topk = jax.lax.top_k(scores, k_eff)
+                    if k_eff < max_k:  # tiny catalogs: pad with -1 (no item)
+                        topk = jnp.pad(
+                            topk, ((0, 0), (0, max_k - k_eff)), constant_values=-1
+                        )
+                    return topk
+
+                return jax.lax.map(one, (users_c, mask_c)).reshape(-1, max_k)
+
         def eval_topk(params, state, users, mask_items, n_chunks, dense_mask=False):
-            users_c = users.reshape(n_chunks, B)
-            mask_c = mask_items.reshape(n_chunks, B, -1)
-            arts = model.eval_artifacts(params, state) if has_cache else None
-
-            def one(args):
-                u, m = args
-                if has_cache:
-                    scores = model.scores_cached(params, state, u, arts)
-                else:
-                    scores = model.scores(params, state, u)
-                if dense_mask:
-                    # precomputed (B, n_items) bool: elementwise, no scatter
-                    scores = jnp.where(m, -1e10, scores)
-                else:
-                    # scatter -inf over train positives; col n_items drops
-                    rows = jnp.arange(u.shape[0])[:, None]
-                    scores = scores.at[rows, m].set(-1e10, mode="drop")
-                _, topk = jax.lax.top_k(scores, k_eff)
-                if k_eff < max_k:  # tiny catalogs: pad ranks with -1 (no item)
-                    topk = jnp.pad(topk, ((0, 0), (0, max_k - k_eff)), constant_values=-1)
-                return topk
-
-            return jax.lax.map(one, (users_c, mask_c)).reshape(-1, max_k)
+            return eval_topk_impl(
+                params, state, users, mask_items, model.buffers(),
+                n_chunks=n_chunks, dense_mask=dense_mask,
+            )
 
         return eval_topk
 

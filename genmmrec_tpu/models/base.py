@@ -21,6 +21,7 @@ int32 vectors and a float ``weight`` vector (0 for padded rows).
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -115,6 +116,31 @@ class RecModel:
     def post_epoch(self, params: Params, state: State) -> Optional[str]:
         """Host-side hook after each epoch; may return a log string."""
         return None
+
+    # -- large-buffer binding --------------------------------------------
+    # jit closure constants are EMBEDDED in the compile payload; at scale
+    # (sports+: 300MB modal features, 2.6GB KNN score tables) that breaks
+    # the remote-compile size limit. The trainer passes these arrays as jit
+    # ARGUMENTS and temporarily binds them onto the model during tracing.
+    buffer_names: Tuple[str, ...] = ("v_feat", "t_feat", "data")
+
+    def buffers(self) -> Dict[str, Any]:
+        return {
+            k: getattr(self, k)
+            for k in self.buffer_names
+            if getattr(self, k, None) is not None
+        }
+
+    @contextlib.contextmanager
+    def bound(self, buffers: Dict[str, Any]):
+        old = {k: getattr(self, k) for k in buffers}
+        try:
+            for k, v in buffers.items():
+                setattr(self, k, v)
+            yield
+        finally:
+            for k, v in old.items():
+                setattr(self, k, v)
 
     # -- conveniences ---------------------------------------------------
     @property

@@ -47,6 +47,8 @@ class ItemKNNCBF(RecModel):
         R = np.zeros((self.n_users, n_items), np.float32)
         np.add.at(R, (users, items), 1.0)
         self.scores_matrix = jnp.asarray(R @ S)
+        # (n_users, n_items) — pass as a jit argument, not a closure constant
+        self.buffer_names = self.buffer_names + ("scores_matrix",)
 
     def init_params(self, key):
         return {"dummy_embeddings": jnp.array([0.5, 0.5])}
