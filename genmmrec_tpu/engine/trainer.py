@@ -303,8 +303,12 @@ class Trainer:
                     else:
                         scores = model.scores(params, state, u)
                     if dense_mask:
-                        # precomputed (B, n_items) bool: elementwise, no scatter
-                        scores = jnp.where(m, -1e10, scores)
+                        # precomputed bit-packed mask: unpack then elementwise
+                        bits = (
+                            m[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)
+                        ) & jnp.uint8(1)
+                        mask_bool = bits.reshape(m.shape[0], -1)[:, :n_items] != 0
+                        scores = jnp.where(mask_bool, -1e10, scores)
                     else:
                         # scatter -inf over train positives; col n_items drops
                         rows = jnp.arange(u.shape[0])[:, None]
@@ -329,7 +333,9 @@ class Trainer:
     # eval masks are constant across evaluations — precompute a dense bool
     # matrix once per eval set when it fits the budget (the per-chunk
     # (B, max_train) scatter measured ~9ms/chunk on v5e vs ~0 for a where)
-    _DENSE_MASK_BUDGET = 512 * 1024 * 1024  # bytes (bool)
+    # 2GB covers microlens (98k x 17k) and sports; elec (192k x 63k = 12GB)
+    # falls back to the per-chunk scatter
+    _DENSE_MASK_BUDGET = 2 * 1024 * 1024 * 1024  # bytes (bool)
 
     def _dense_mask(self, eval_data: EvalData):
         key = id(eval_data)
@@ -340,14 +346,20 @@ class Trainer:
         n_items = eval_data.n_items
         if U_pad * n_items > self._DENSE_MASK_BUDGET:
             return None
-        rows = jnp.arange(U_pad)[:, None]
-        dense = (
-            jnp.zeros((U_pad, n_items + 1), bool)
-            .at[rows, eval_data.mask_items]
-            .set(True, mode="drop")[:, :n_items]
-        )
-        self._mask_cache[key] = dense
-        return dense
+        # host build: an XLA scatter would serialize over U_pad*max_train
+        # updates (padding sentinels included — minutes at 100k users);
+        # numpy fancy-set over the real entries is O(nnz). The matrix ships
+        # BIT-PACKED (8x smaller host->device transfer on remote-attached
+        # TPUs) and is unpacked per chunk on device.
+        m = np.asarray(eval_data.mask_items)
+        valid = (m < n_items).reshape(-1)
+        rows = np.repeat(np.arange(U_pad), m.shape[1])[valid]
+        cols = m.reshape(-1)[valid]
+        dense_np = np.zeros((U_pad, n_items), bool)
+        dense_np[rows, cols] = True
+        packed = jnp.asarray(np.packbits(dense_np, axis=1, bitorder="little"))
+        self._mask_cache[key] = packed
+        return packed
 
     # ------------------------------------------------------------------
     def fit(self, train_data, valid_data=None, test_data=None, saved=False, verbose=True):
