@@ -167,7 +167,10 @@ class RecDataset:
         n_users = int(cfg["synthetic_n_users"] or 1000)
         n_items = int(cfg["synthetic_n_items"] or 500)
         n_inters = int(cfg["synthetic_n_inters"] or 10000)
-        rng = np.random.default_rng(0xC0FFEE ^ hash(self.dataset_name) % (2**31))
+        import zlib
+
+        # stable per-dataset seed (python's hash() is randomized per process)
+        rng = np.random.default_rng(0xC0FFEE ^ zlib.crc32(self.dataset_name.encode()))
 
         # user activity ∝ lognormal, at least 3 interactions each
         act = rng.lognormal(0.0, 1.0, n_users)
