@@ -172,9 +172,13 @@ class RecDataset:
         # stable per-dataset seed (python's hash() is randomized per process)
         rng = np.random.default_rng(0xC0FFEE ^ zlib.crc32(self.dataset_name.encode()))
 
-        # user activity ∝ lognormal, at least 3 interactions each
+        # user activity ∝ lognormal, at least 3 interactions each; capped so
+        # the padded history matrix (n_users x max_degree) stays bounded —
+        # an uncapped lognormal tail at elec scale (192k users) produced a
+        # multi-GB hist matrix and an HBM OOM
         act = rng.lognormal(0.0, 1.0, n_users)
         counts = np.maximum(3, (act / act.sum() * n_inters).astype(np.int64))
+        counts = np.minimum(counts, min(n_items, 1000))
         # item popularity ∝ zipf
         pop = 1.0 / np.arange(1, n_items + 1) ** 0.8
         pop /= pop.sum()

@@ -115,10 +115,11 @@ class RFHostMixin:
         k_rf = jax.random.fold_in(key, 1317)
         target = sg(self.rf_host_repr(params, state))
         conditions = sg(self._rf_conditions(params))
-        rf_total, _, _ = rf.rf_losses(
+        rf_total, _, _ = rf.rf_losses_staged(
             params["rf"],
             self.rf_cfg,
             k_rf,
+            state["rf_epoch"],
             target,
             conditions,
             None,
@@ -134,7 +135,10 @@ class RFHostMixin:
             return super().full_embeddings(params, state)
         final = self.rf_host_repr(params, state)
         conditions = self._rf_conditions(params)
-        generated = rf.generate(params["rf"], self.rf_cfg, jax.random.PRNGKey(0), conditions)
+        generated = rf.generate_staged(
+            params["rf"], self.rf_cfg, jax.random.PRNGKey(0), conditions,
+            state["rf_epoch"],
+        )
         warmed = (state["rf_epoch"] >= self.rf_cfg.warmup_epochs).astype(jnp.float32)
         mixed = final + warmed * self.rf_cfg.inference_mix_ratio * generated
         return mixed[: self.n_users], mixed[self.n_users :]

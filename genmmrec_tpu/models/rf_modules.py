@@ -285,6 +285,66 @@ def prepare_reflow(params, cfg: RFConfig, key: jax.Array, conditions: jnp.ndarra
     return z0, jax.lax.stop_gradient(z1)
 
 
+def generate_staged(
+    params, cfg: RFConfig, key: jax.Array, conditions, epoch, start_noise=None
+):
+    """Euler-ODE generation with the 2-RF stage switch: after the reflow
+    transition the straightened field samples in ONE step (the reference's
+    claimed 100x inference speedup, docs/RFMREC_README.md:303-306)."""
+    if not cfg.use_2rf:
+        return generate(params, cfg, key, conditions, start_noise=start_noise)
+    return jax.lax.cond(
+        jnp.asarray(epoch) >= cfg.rf_2rf_transition_epoch,
+        lambda k: generate(params, cfg, k, conditions, n_steps=1, start_noise=start_noise),
+        lambda k: generate(params, cfg, k, conditions, start_noise=start_noise),
+        key,
+    )
+
+
+def rf_losses_staged(
+    params,
+    cfg: RFConfig,
+    key: jax.Array,
+    epoch,
+    target_embeds: jnp.ndarray,
+    conditions: jnp.ndarray,
+    user_prior,
+    batch_users,
+    batch_pos_items,
+    batch_weight,
+    fixed_noise=None,
+):
+    """1-RF → 2-RF staged training (reference ``set_epoch`` transition,
+    rf_modules.py:613-628): before ``rf_2rf_transition_epoch`` train the
+    straight path noise→target; after it, train on (z0, generate(z0))
+    reflow pairs from the frozen current model — straighter paths enabling
+    1-step sampling. ``epoch`` is traced (rides in model state)."""
+    if not cfg.use_2rf:
+        return rf_losses(
+            params, cfg, key, target_embeds, conditions, user_prior,
+            batch_users, batch_pos_items, batch_weight, fixed_noise=fixed_noise,
+        )
+
+    def stage1(k):
+        return rf_losses(
+            params, cfg, k, target_embeds, conditions, user_prior,
+            batch_users, batch_pos_items, batch_weight, fixed_noise=fixed_noise,
+        )
+
+    def stage2(k):
+        k_pair, k_loss = jax.random.split(k)
+        frozen = jax.lax.stop_gradient(params)
+        z0, z1 = prepare_reflow(frozen, cfg, k_pair, conditions)
+        return rf_losses(
+            params, cfg, k_loss, z1, conditions, user_prior,
+            batch_users, batch_pos_items, batch_weight, fixed_noise=z0,
+        )
+
+    return jax.lax.cond(
+        jnp.asarray(epoch) >= cfg.rf_2rf_transition_epoch, stage2, stage1, key
+    )
+
+
 def mix_embeddings(
     cfg: RFConfig,
     original: jnp.ndarray,

@@ -131,10 +131,11 @@ class RFGUME(GUME):
         )
 
         x0 = self._rf_x0(params)
-        rf_total, rf_loss, cl_loss = rf.rf_losses(
+        rf_total, rf_loss, cl_loss = rf.rf_losses_staged(
             params["rf"],
             self.rf_cfg,
             k_rf,
+            state["epoch"],
             rf_target,
             conditions,
             full_prior,
@@ -153,11 +154,12 @@ class RFGUME(GUME):
             return super().full_embeddings(params, state)
         explicit_image, explicit_text = self._explicit_embeds(params)
         conditions = jnp.concatenate([explicit_image, explicit_text], axis=-1)
-        generated = rf.generate(
+        generated = rf.generate_staged(
             params["rf"],
             self.rf_cfg,
             jax.random.PRNGKey(0),
             conditions,
+            state["epoch"],
             start_noise=self._rf_x0(params),
         )
         original = self._conv_ui(

@@ -176,3 +176,40 @@ def test_rfgume_rf_params_use_dedicated_adamw(tiny_td):
     new_params, _, _, _ = train_epoch(params, opt_state, state, jax.random.PRNGKey(2))
     assert not np.allclose(before_rf, np.asarray(new_params["rf"]["in_lin"]["w"]))
     assert not np.allclose(before_main, np.asarray(new_params["user_embedding"]))
+
+
+def test_2rf_stage_transition(tiny_td):
+    """use_2rf: before the transition the RF trains noise->target; after it
+    trains reflow pairs and generates in one step. Both stages must produce
+    finite losses/gradients and scores."""
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    _, _, td = tiny_td
+    config = Config(
+        "RFBM3", "tiny",
+        {"save_recommended_topk": False, "rf_loss_weight": 0.2,
+         "use_2rf": True, "rf_2rf_transition_epoch": 2},
+    )
+    model = get_model("RFBM3")(config, td)
+    params = model.init_params(jax.random.PRNGKey(0))
+    B = 16
+    batch = {
+        "users": td.users[:B], "pos": td.items[:B],
+        "neg": (td.items[:B] + 1) % td.n_items,
+        "weight": np.ones(B, np.float32),
+    }
+    losses = []
+    for epoch in (0, 5):  # stage 1 and stage 2
+        state = model.pre_epoch(params, model.init_state(jax.random.PRNGKey(1)),
+                                jax.random.PRNGKey(2), epoch)
+        total, _ = model.loss(params, state, batch, jax.random.PRNGKey(3))
+        assert np.isfinite(float(total))
+        losses.append(float(total))
+        g = jax.grad(lambda p: model.loss(p, state, batch, jax.random.PRNGKey(3))[0])(params)
+        gn = sum(float((x**2).sum()) for x in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(gn) and gn > 0
+        scores = model.scores(params, state, td.users[:4])
+        assert np.isfinite(np.asarray(scores)).all()
+    # the two stages optimize different targets
+    assert losses[0] != losses[1]
