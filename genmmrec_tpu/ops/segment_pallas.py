@@ -70,7 +70,7 @@ def chunk_span(rows: np.ndarray, n_rows: int, chunk: int = CHUNK) -> int:
     return span
 
 
-def _segsum_kernel(starts_ref, rows_ref, g_ref, out_ref, *, span, chunk):
+def _segsum_kernel(starts_ref, rows_ref, g_ref, out_ref, *, span, chunk, nnz):
     c = pl.program_id(0)
 
     @pl.when(c == 0)
@@ -87,6 +87,20 @@ def _segsum_kernel(starts_ref, rows_ref, g_ref, out_ref, *, span, chunk):
         # default (single-pass) MXU precision
         onehot = (rowvec[None, :] - row_start == iota_sub).astype(jnp.bfloat16)
         gsub = g_ref[pl.ds(i * chunk, chunk), :]
+        # g rides in UNPADDED (the caller never copies it): Pallas pads the
+        # ragged tail block with garbage, which must be zeroed — 0-entries
+        # of the one-hot would still poison the matmul via 0 * NaN
+        base = (c * SUB + i) * chunk
+        gsub = jax.lax.cond(
+            base + chunk > nnz,
+            lambda g: jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + base < nnz,
+                g,
+                0.0,
+            ),
+            lambda g: g,
+            gsub,
+        )
         g_hi = gsub.astype(jnp.bfloat16)
         g_lo = (gsub - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         dot = lambda b: jnp.dot(onehot, b, preferred_element_type=jnp.float32)
@@ -123,7 +137,8 @@ def _segsum_impl(gathered, rows, n_rows, span, chunk, interpret):
     n_super = -(-nnz // step)
     pad = n_super * step - nnz
     if pad:
-        gathered = jnp.pad(gathered, ((0, pad), (0, 0)))  # zero contributions
+        # only the (nnz,) row ids are padded — cheap. The (nnz, d) gathered
+        # operand is passed ragged; the kernel zero-masks the tail block.
         rows = jnp.pad(rows, (0, pad), constant_values=max(n_rows - 1, 0))
 
     starts = rows[::chunk]  # (n_super*SUB,) scalar prefetch
@@ -142,7 +157,7 @@ def _segsum_impl(gathered, rows, n_rows, span, chunk, interpret):
         ),
     )
     out = pl.pallas_call(
-        functools.partial(_segsum_kernel, span=span, chunk=chunk),
+        functools.partial(_segsum_kernel, span=span, chunk=chunk, nnz=nnz),
         out_shape=jax.ShapeDtypeStruct((out_pad, d), jnp.float32),
         grid_spec=grid_spec,
         # the resident output block may be double-buffered by the compiler;
