@@ -217,6 +217,64 @@ class DiffMM(RecModel):
             e2[self.n_users :],
         )
 
+    def _forward_joint(self, params, state):
+        """forward_MM + forward_cl_MM with maximally batched propagations.
+
+        The gather that feeds each SpMM costs the same at d=128/d=192 as at
+        d=64 (it is issue-rate-, not bandwidth-, bound), so the training path
+        shares every graph pass across towers: each modal graph is touched
+        ONCE (main-branch ego + CL tower in one spmm_multi), and the final
+        main-adjacency layer propagates the rec tower and both CL towers in
+        one d=192 pass. Semantically identical to calling forward_MM and
+        forward_cl_MM separately (reference diffmm.py:129-195).
+        """
+        rec = params["rec"]
+        adj = self.norm_adj
+        img_adj = self._modal_graph(state, "image")
+        txt_adj = self._modal_graph(state, "text")
+        image_feats = self.get_image_feats(params)
+        text_feats = self.get_text_feats(params)
+        weight = jax.nn.softmax(rec["modal_weight"])
+
+        ego = jnp.concatenate([rec["uEmbeds"], rec["iEmbeds"]])
+        u_img = jnp.concatenate([rec["uEmbeds"], _l2norm(image_feats)])
+        u_txt = jnp.concatenate([rec["uEmbeds"], _l2norm(text_feats)])
+
+        # one pass per modal graph feeds both the main branch and its CL tower
+        e_img_adj, cl1 = spmm_multi(img_adj, [ego, u_img])
+        e_txt_adj, cl2 = spmm_multi(txt_adj, [ego, u_txt])
+
+        e_img, e_txt = spmm_multi(adj, [u_img, u_txt])
+        e_img_, e_txt_ = spmm_multi(
+            adj,
+            [
+                jnp.concatenate([e_img[: self.n_users], rec["iEmbeds"]]),
+                jnp.concatenate([e_txt[: self.n_users], rec["iEmbeds"]]),
+            ],
+        )
+        embedsImage = e_img + e_img_ + self.ris_adj_lambda * e_img_adj
+        embedsText = e_txt + e_txt_ + self.ris_adj_lambda * e_txt_adj
+        embedsModal = weight[0] * embedsImage + weight[1] * embedsText
+
+        # rec-tower layers and both CL-tower layers ride one d=192 pass each
+        rec_e, acc = embedsModal, embedsModal
+        acc1, acc2 = cl1, cl2
+        for _ in range(self.gnn_layer):
+            rec_e, cl1, cl2 = spmm_multi(adj, [rec_e, cl1, cl2])
+            acc = acc + rec_e
+            acc1 = acc1 + cl1
+            acc2 = acc2 + cl2
+        out = acc + self.ris_lambda * _l2norm(embedsModal)
+        nu = self.n_users
+        return (
+            out[:nu],
+            out[nu:],
+            acc1[:nu],
+            acc1[nu:],
+            acc2[:nu],
+            acc2[nu:],
+        )
+
     # ------------------------------------------------------------------
     def contrast_loss(self, e1, e2, nodes, weights):
         e1 = _l2norm(e1 + 1e-8)
@@ -230,7 +288,7 @@ class DiffMM(RecModel):
     def loss(self, params, state, batch, key):
         rec = params["rec"]
         users, pos, neg, w = batch["users"], batch["pos"], batch["neg"], batch["weight"]
-        usrEmbeds, itmEmbeds = self.forward_MM(params, state)
+        usrEmbeds, itmEmbeds, u1, i1, u2, i2 = self._forward_joint(params, state)
         anc, posE, negE = usrEmbeds[users], itmEmbeds[pos], itmEmbeds[neg]
         pos_s = (anc * posE).sum(1)
         neg_s = (anc * negE).sum(1)
@@ -239,7 +297,6 @@ class DiffMM(RecModel):
         )
         reg = (jnp.sum(rec["uEmbeds"] ** 2) + jnp.sum(rec["iEmbeds"] ** 2)) * self.reg_weight
 
-        u1, i1, u2, i2 = self.forward_cl_MM(params, state)
         if self.cl_method == 1:
             cl = (
                 self.contrast_loss(usrEmbeds, u1, users, w)

@@ -35,7 +35,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SUB = 8  # sub-chunks per grid step (rows tile needs 8 sublanes)
-CHUNK = 1024  # edges per sub-chunk
+# edges per sub-chunk: 256 measured best on v5e — the one-hot VPU work per
+# edge scales with the chunk's row span, and real power-law graphs have
+# span ~80 at 256 vs ~240 at 1024 (scripts/time_spmm_variants.py)
+CHUNK = 256
 D_TILE = 64  # column-split granularity for wide operands
 # scoped-VMEM cap requested from the compiler (v5e has 128MB physical)
 _VMEM_LIMIT = 56 * 1024 * 1024
