@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Zoo-wide real-scale smoke sweep.
+
+Runs every model in the zoo end-to-end (`python main.py`) on a real-scale
+dataset (default: baby — 19,445 users x 7,050 items synthetic fallback) for a
+couple of epochs on the actual accelerator, and records pass/fail, wall time
+and the final valid Recall@20 into ``comparison_logs/zoo_sweep_<ds>.json``.
+
+This is the TPU-scale counterpart of the reference's per-model ``verify_*.py``
+smoke scripts (/root/reference/verify_diffrec.py:13-65 etc.), which only ever
+exercised tiny CPU mocks: here every model must compile and run at catalog
+scale on device.
+
+Usage:
+    python scripts/zoo_sweep.py [--dataset baby] [--epochs 2] [--timeout 900]
+    python scripts/zoo_sweep.py --models DiffMM GUME   # subset
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ALL_MODELS = [
+    # classic / graph
+    "BPR", "VBPR", "LightGCN", "LayerGCN", "SELFCFED_LGN", "ItemKNNCBF",
+    # multimodal graph
+    "BM3", "FREEDOM", "GUME", "LATTICE", "MGCN", "LGMRec", "MMGCN", "GRCN",
+    "DualGNN", "DRAGON", "COHESION", "SMORE", "PGL", "SLMRec", "MVGAE", "DAMRS",
+    # diffusion
+    "DiffRec", "DiffMM", "DDRM", "MCDRec", "CoDMR", "LD4MRec", "DiffGraph", "MVDiff",
+    # flip diffusion
+    "GenRecV1", "GenRecBM3",
+    # rectified flow
+    "RFMRec", "RFGUME", "RFGUMETime", "RFBM3", "RFFREEDOM", "RFLATTICE", "RFMGCN",
+    "RFMMGCN", "RFVBPR", "RFLGMRec", "RFDualGNN", "RFGRCN", "RFCOHESION",
+    "RFSMORE", "RFPGL", "RFBPR_remove", "RFLightGCN_remove", "RFLayerGCN_remove",
+]
+
+
+def run_one(model: str, dataset: str, epochs: int, timeout: int):
+    cmd = [
+        sys.executable, "main.py", "-m", model, "-d", dataset,
+        "--epochs", str(epochs),
+    ]
+    t0 = time.time()
+    try:
+        res = subprocess.run(
+            cmd, cwd=ROOT, capture_output=True, text=True, timeout=timeout
+        )
+        out = res.stdout + res.stderr
+        dt = time.time() - t0
+        m = re.findall(r"recall@20: ([0-9.]+)", out)
+        ok = res.returncode == 0 and "BEST" in out
+        tail = "" if ok else out[-2000:]
+        return {
+            "ok": ok, "seconds": round(dt, 1),
+            "valid_recall@20": float(m[-2]) if len(m) >= 2 else None,
+            "returncode": res.returncode, "tail": tail,
+        }
+    except subprocess.TimeoutExpired:
+        return {"ok": False, "seconds": timeout, "valid_recall@20": None,
+                "returncode": None, "tail": "TIMEOUT"}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="baby")
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--timeout", type=int, default=900)
+    ap.add_argument("--models", nargs="*", default=None)
+    args = ap.parse_args()
+
+    models = args.models or ALL_MODELS
+    out_path = os.path.join(
+        ROOT, "comparison_logs", f"zoo_sweep_{args.dataset}.json"
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    results = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
+
+    for i, model in enumerate(models):
+        if model in results and results[model]["ok"]:
+            print(f"[{i+1}/{len(models)}] {model}: cached OK", flush=True)
+            continue
+        print(f"[{i+1}/{len(models)}] {model} ...", flush=True)
+        results[model] = run_one(model, args.dataset, args.epochs, args.timeout)
+        status = "OK" if results[model]["ok"] else "FAIL"
+        print(
+            f"    {status} in {results[model]['seconds']}s "
+            f"recall@20={results[model]['valid_recall@20']}", flush=True,
+        )
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2, sort_keys=True)
+
+    n_ok = sum(1 for r in results.values() if r["ok"])
+    print(f"\n{n_ok}/{len(results)} models OK — {out_path}")
+
+
+if __name__ == "__main__":
+    main()
