@@ -253,9 +253,19 @@ def knn_graph_sparse(
 ) -> SparseGraph:
     """Sparse KNN graph built on host (init-time), nnz = n*topk.
 
-    Replacement for ``build_knn_normalized_graph(..., is_sparse=True)``
-    (`src/utils/utils.py:184-197`), whose normalization uses
-    torch_scatter.scatter_add — here plain numpy segment sums.
+    ``norm_type``:
+    - "sym" / "rw": replacement for
+      ``build_knn_normalized_graph(..., is_sparse=True)``
+      (`src/utils/utils.py:184-197`) — cosine-similarity edge VALUES,
+      normalized by the weighted degree (torch_scatter.scatter_add there,
+      numpy segment sums here). Used by MGCN/SMORE/GUME/CoDMR/MVDiff and the
+      GenRecV1 trainer (`src/common/trainer.py:682-687`).
+    - "binary_row": replacement for the model-local ``get_knn_adj_mat`` +
+      ``compute_normalized_laplacian`` pattern
+      (`src/models/freedom.py:79-101`, duplicated in cohesion/dragon/pgl/
+      damrs) — edge values are BINARY ones and both sides normalize by the
+      out-degree table (row_sum indexed at row and col), giving a uniform
+      1/(topk+1e-7) weight.
     """
     f = np.asarray(features, np.float32)
     f = f / np.maximum(np.linalg.norm(f, axis=1, keepdims=True), 1e-12)
@@ -281,6 +291,11 @@ def knn_graph_sparse(
         with np.errstate(divide="ignore"):
             dis = np.where(deg > 0, np.power(deg, -0.5), 0.0)
         vals = dis[rows] * vals * dis[cols]
+    elif norm_type == "binary_row":
+        deg = np.zeros(n)
+        np.add.at(deg, rows, np.ones_like(vals))
+        dis = np.power(deg + 1e-7, -0.5)
+        vals = dis[rows] * dis[cols]
     elif norm_type == "rw":
         deg = np.zeros(n)
         np.add.at(deg, rows, vals)
