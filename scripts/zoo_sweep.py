@@ -49,6 +49,9 @@ def run_one(model: str, dataset: str, epochs: int, timeout: int):
     cmd = [
         sys.executable, "main.py", "-m", model, "-d", dataset,
         "--epochs", str(epochs),
+        # pin the hyper-grid to one combo (seed only); other list-valued
+        # YAML keys scalarize to their first entry
+        "--config-json", json.dumps({"hyper_parameters": ["seed"]}),
     ]
     t0 = time.time()
     try:

@@ -37,6 +37,53 @@ def _patch_scipy_dok():
         sp.dok_matrix._update = _update
 
 
+def _shim_models_common():
+    """Some reference files import `models.common.*` (a stale path); alias it
+    to the actual `common` package."""
+    import importlib
+
+    _ref_path()
+    if "models.common" not in sys.modules:
+        import models  # the reference's models package
+
+        common = importlib.import_module("common")
+        sys.modules["models.common"] = common
+        models.common = common
+        for sub in ("abstract_recommender", "loss", "init", "encoders"):
+            try:
+                sys.modules[f"models.common.{sub}"] = importlib.import_module(
+                    f"common.{sub}"
+                )
+            except ImportError:
+                pass
+
+
+def _shim_torch_scatter():
+    """The reference's utils.get_sparse_laplacian imports the torch_scatter
+    CUDA extension (not installed here); provide an index_add_-based stub."""
+    import types
+
+    import torch
+
+    if "torch_scatter" in sys.modules:
+        return
+
+    def scatter_add(src, index, dim=0, dim_size=None):
+        if dim_size is None:
+            dim_size = int(index.max()) + 1
+        shape = list(src.shape)
+        shape[dim] = dim_size
+        out = torch.zeros(shape, dtype=src.dtype, device=src.device)
+        return out.index_add_(dim, index, src)
+
+    mod = types.ModuleType("torch_scatter")
+    mod.scatter_add = scatter_add
+    mod.scatter = lambda src, index, dim=0, dim_size=None, reduce="sum": (
+        scatter_add(src, index, dim, dim_size)
+    )
+    sys.modules["torch_scatter"] = mod
+
+
 class _MockLoader:
     def __init__(self, td):
         self.td = td
@@ -258,6 +305,461 @@ def test_freedom_scores_match_reference(tiny_td, tmp_path):
     ours_scores = np.asarray(ours.scores(params, state, users))
     with torch.no_grad():
         ref_scores = RefFREEDOM.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_layergcn_scores_match_reference(tiny_td):
+    import torch
+
+    _ref_path()
+    _patch_scipy_dok()
+    _shim_models_common()
+    from models.layergcn import LayerGCN as RefLayerGCN
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    config = Config(
+        "LayerGCN", "tiny",
+        {"save_recommended_topk": False, "embedding_size": 16,
+         "n_layers": 3, "reg_weight": 0.01, "dropout": 0.0},
+    )
+    ours = get_model("LayerGCN")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+    state = ours.init_state(jax.random.PRNGKey(1))
+
+    ref_cfg = {
+        "USER_ID_FIELD": "userID", "ITEM_ID_FIELD": "itemID",
+        "NEG_PREFIX": "neg_", "train_batch_size": 64, "device": "cpu",
+        "end2end": False, "is_multimodal_model": False,
+        "embedding_size": 16, "n_layers": 3, "reg_weight": 0.01,
+        "dropout": 0.0,
+    }
+    ref = RefLayerGCN(ref_cfg, _MockLoader(td))
+    ref.eval()
+    with torch.no_grad():
+        ref.user_embeddings.copy_(
+            torch.from_numpy(np.asarray(params["user_embeddings"]))
+        )
+        ref.item_embeddings.copy_(
+            torch.from_numpy(np.asarray(params["item_embeddings"]))
+        )
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, state, users))
+    with torch.no_grad():
+        ref_scores = RefLayerGCN.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_mgcn_scores_match_reference(tiny_td, tmp_path, monkeypatch):
+    import torch
+
+    _ref_path()
+    _patch_scipy_dok()
+    # the reference unconditionally .cuda()s the modal adjacencies; make
+    # cuda() a no-op on CPU for this test
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    _shim_torch_scatter()
+    from models.mgcn import MGCN as RefMGCN
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    hp = {"cl_loss": 0.01, "n_ui_layers": 2, "knn_k": 5, "n_layers": 1}
+    config = Config(
+        "MGCN", "tiny",
+        {"save_recommended_topk": False, "embedding_size": 16,
+         "reg_weight": 1e-4, **hp},
+    )
+    ours = get_model("MGCN")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+
+    ref_cfg = _mm_ref_config(td, tmp_path, ours, hp)
+    ref = RefMGCN(ref_cfg, _MockLoader(td))
+    ref.eval()
+
+    def copy_seq(seq, p1, p2=None):
+        _copy_linear(seq[0], p1)
+        if p2 is not None:
+            with torch.no_grad():
+                seq[2].weight.copy_(torch.from_numpy(np.asarray(p2["w"])))
+
+    with torch.no_grad():
+        ref.user_embedding.weight.copy_(
+            torch.from_numpy(np.asarray(params["user_embedding"]))
+        )
+        ref.item_id_embedding.weight.copy_(
+            torch.from_numpy(np.asarray(params["item_id_embedding"]))
+        )
+        ref.image_embedding.weight.copy_(torch.from_numpy(np.asarray(ours.v_feat)))
+        ref.text_embedding.weight.copy_(torch.from_numpy(np.asarray(ours.t_feat)))
+        _copy_linear(ref.image_trs, params["image_trs"])
+        _copy_linear(ref.text_trs, params["text_trs"])
+        copy_seq(ref.query_common, params["query1"], params["query2"])
+        copy_seq(ref.gate_v, params["gate_v"])
+        copy_seq(ref.gate_t, params["gate_t"])
+        copy_seq(ref.gate_image_prefer, params["gate_image_prefer"])
+        copy_seq(ref.gate_text_prefer, params["gate_text_prefer"])
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, {}, users))
+    with torch.no_grad():
+        ref_scores = RefMGCN.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_gume_scores_match_reference(tiny_td, tmp_path, monkeypatch):
+    import torch
+
+    _ref_path()
+    _patch_scipy_dok()
+    _shim_torch_scatter()
+    from models.gume import GUME as RefGUME
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    # knn_k=10 is load-bearing: the reference's find_inter groups KNN edges
+    # in hardcoded runs of 10 (gume.py:139)
+    hp = {
+        "bm_loss": 0.1, "um_loss": 0.1, "vt_loss": 0.1, "reg_weight_1": 1e-4,
+        "reg_weight_2": 1e-2, "bm_temp": 0.2, "um_temp": 0.2,
+        "n_ui_layers": 2, "knn_k": 10, "n_layers": 1,
+    }
+    config = Config(
+        "GUME", "tiny",
+        {"save_recommended_topk": False, "embedding_size": 16, **hp},
+    )
+    ours = get_model("GUME")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+
+    ref_cfg = _mm_ref_config(td, tmp_path, ours, hp)
+    ref = RefGUME(ref_cfg, _MockLoader(td))
+    ref.eval()
+    with torch.no_grad():
+        ref.user_embedding.weight.copy_(
+            torch.from_numpy(np.asarray(params["user_embedding"]))
+        )
+        ref.item_id_embedding.weight.copy_(
+            torch.from_numpy(np.asarray(params["item_id_embedding"]))
+        )
+        ref.extended_image_user.weight.copy_(
+            torch.from_numpy(np.asarray(params["extended_image_user"]))
+        )
+        ref.extended_text_user.weight.copy_(
+            torch.from_numpy(np.asarray(params["extended_text_user"]))
+        )
+        ref.image_embedding.weight.copy_(torch.from_numpy(np.asarray(ours.v_feat)))
+        ref.text_embedding.weight.copy_(torch.from_numpy(np.asarray(ours.t_feat)))
+        _copy_linear(ref.image_reduce_dim, params["image_reduce"])
+        _copy_linear(ref.image_trans_dim[0], params["image_trans"])
+        _copy_linear(ref.text_reduce_dim, params["text_reduce"])
+        _copy_linear(ref.text_trans_dim[0], params["text_trans"])
+        _copy_linear(ref.separate_coarse[0], params["separate1"])
+        ref.separate_coarse[2].weight.copy_(
+            torch.from_numpy(np.asarray(params["separate2"]["w"]))
+        )
+        _copy_linear(ref.image_behavior[0], params["image_behavior"])
+        _copy_linear(ref.text_behavior[0], params["text_behavior"])
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, {}, users))
+    with torch.no_grad():
+        ref_scores = RefGUME.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_lattice_scores_match_reference(tiny_td, tmp_path, monkeypatch):
+    import torch
+
+    _ref_path()
+    _patch_scipy_dok()
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    from models.lattice import LATTICE as RefLATTICE
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    hp = {
+        "feat_embed_dim": 16, "weight_size": [16, 16], "knn_k": 5,
+        "lambda_coeff": 0.9, "cf_model": "lightgcn", "n_layers": 1,
+        "mess_dropout": [0.1, 0.1],
+    }
+    config = Config(
+        "LATTICE", "tiny",
+        {"save_recommended_topk": False, "embedding_size": 16,
+         "reg_weight": 1e-5, **hp},
+    )
+    ours = get_model("LATTICE")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+
+    ref_cfg = _mm_ref_config(td, tmp_path, ours, hp)
+    ref = RefLATTICE(ref_cfg, _MockLoader(td))
+    ref.eval()
+    with torch.no_grad():
+        ref.user_embedding.weight.copy_(
+            torch.from_numpy(np.asarray(params["user_embedding"]))
+        )
+        ref.item_id_embedding.weight.copy_(
+            torch.from_numpy(np.asarray(params["item_id_embedding"]))
+        )
+        ref.image_embedding.weight.copy_(torch.from_numpy(np.asarray(ours.v_feat)))
+        ref.text_embedding.weight.copy_(torch.from_numpy(np.asarray(ours.t_feat)))
+        _copy_linear(ref.image_trs, params["image_trs"])
+        _copy_linear(ref.text_trs, params["text_trs"])
+        ref.modal_weight.copy_(torch.from_numpy(np.asarray(params["modal_weight"])))
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, {}, users))
+    with torch.no_grad():
+        ref_scores = RefLATTICE.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_lgmrec_scores_match_reference(tiny_td, tmp_path, monkeypatch):
+    import torch
+    import torch.nn.functional as F
+
+    _ref_path()
+    _patch_scipy_dok()
+    import models.lgmrec as ref_mod
+    from models.lgmrec import LGMRec as RefLGMRec
+
+    import genmmrec_tpu.models.lgmrec as ours_mod
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    # gumbel_softmax is stochastic even in eval mode; pin both sides to the
+    # deterministic softmax(logits/tau) limit for the comparison
+    monkeypatch.setattr(
+        ref_mod.F, "gumbel_softmax",
+        lambda logits, tau, dim=1, hard=False: F.softmax(logits / tau, dim=dim),
+    )
+    monkeypatch.setattr(
+        ours_mod.LGMRec, "_gumbel_softmax",
+        lambda self, key, logits: jax.nn.softmax(logits / self.tau, axis=1),
+    )
+
+    td = tiny_td
+    hp = {
+        "feat_embed_dim": 16, "cf_model": "lightgcn", "n_mm_layers": 1,
+        "n_ui_layers": 2, "n_hyper_layer": 1, "hyper_num": 4,
+        "keep_rate": 1.0, "alpha": 0.2, "cl_weight": 0.01,
+    }
+    config = Config(
+        "LGMRec", "tiny",
+        {"save_recommended_topk": False, "embedding_size": 16,
+         "reg_weight": 1e-5, **hp},
+    )
+    ours = get_model("LGMRec")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+
+    ref_cfg = _mm_ref_config(td, tmp_path, ours, hp)
+    ref = RefLGMRec(ref_cfg, _MockLoader(td))
+    ref.eval()
+    with torch.no_grad():
+        ref.user_embedding.weight.copy_(
+            torch.from_numpy(np.asarray(params["user_embedding"]))
+        )
+        ref.item_id_embedding.weight.copy_(
+            torch.from_numpy(np.asarray(params["item_id_embedding"]))
+        )
+        ref.image_embedding.weight.copy_(torch.from_numpy(np.asarray(ours.v_feat)))
+        ref.text_embedding.weight.copy_(torch.from_numpy(np.asarray(ours.t_feat)))
+        ref.item_image_trs.copy_(torch.from_numpy(np.asarray(params["item_image_trs"])))
+        ref.item_text_trs.copy_(torch.from_numpy(np.asarray(params["item_text_trs"])))
+        ref.v_hyper.copy_(torch.from_numpy(np.asarray(params["v_hyper"])))
+        ref.t_hyper.copy_(torch.from_numpy(np.asarray(params["t_hyper"])))
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, {}, users))
+    with torch.no_grad():
+        ref_scores = RefLGMRec.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    # ours normalizes with sqrt(sum+eps) (finite grad at zero rows) vs
+    # torch F.normalize's max(norm, eps) — near-zero GHE rows differ at the
+    # few-1e-3 level; everything else matches tightly
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=5e-3, atol=5e-3
+    )
+
+
+def test_selfcfed_lgn_scores_match_reference(tiny_td):
+    import torch
+
+    _ref_path()
+    _patch_scipy_dok()
+    from models.selfcfed_lgn import SELFCFED_LGN as RefSelf
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    config = Config(
+        "SELFCFED_LGN", "tiny",
+        {"save_recommended_topk": False, "embedding_size": 16,
+         "n_layers": 2, "reg_weight": 0.01, "dropout": 0.2},
+    )
+    ours = get_model("SELFCFED_LGN")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+
+    ref_cfg = {
+        "USER_ID_FIELD": "userID", "ITEM_ID_FIELD": "itemID",
+        "NEG_PREFIX": "neg_", "train_batch_size": 64, "device": "cpu",
+        "end2end": False, "is_multimodal_model": False,
+        "embedding_size": 16, "n_layers": 2, "reg_weight": 0.01,
+        "dropout": 0.2,
+    }
+    ref = RefSelf(ref_cfg, _MockLoader(td))
+    ref.eval()
+    with torch.no_grad():
+        ref.online_encoder.embedding_dict["user_emb"].copy_(
+            torch.from_numpy(np.asarray(params["encoder"]["user_emb"]))
+        )
+        ref.online_encoder.embedding_dict["item_emb"].copy_(
+            torch.from_numpy(np.asarray(params["encoder"]["item_emb"]))
+        )
+        _copy_linear(ref.predictor, params["predictor"])
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, {}, users))
+    with torch.no_grad():
+        ref_scores = RefSelf.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_itemknncbf_scores_match_reference(tiny_td, tmp_path):
+    import torch
+
+    _ref_path()
+    _patch_scipy_dok()
+    from models.itemknncbf import ItemKNNCBF as RefKNN
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    config = Config(
+        "ItemKNNCBF", "tiny",
+        {"save_recommended_topk": False, "knn_k": 5, "shrink": 10.0},
+    )
+    ours = get_model("ItemKNNCBF")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+
+    ref_cfg = _mm_ref_config(td, tmp_path, ours, {"knn_k": 5, "shrink": 10.0})
+    ref = RefKNN(ref_cfg, _MockLoader(td))
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, {}, users))
+    with torch.no_grad():
+        ref_scores = RefKNN.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_smore_scores_match_reference(tiny_td, tmp_path, monkeypatch):
+    import torch
+
+    _ref_path()
+    _patch_scipy_dok()
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    _shim_torch_scatter()
+    from models.smore import SMORE as RefSMORE
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    hp = {
+        "cl_loss": 0.01, "n_ui_layers": 2, "n_layers": 1,
+        "image_knn_k": 5, "text_knn_k": 5, "dropout_rate": 0.1,
+    }
+    config = Config(
+        "SMORE", "tiny",
+        {"save_recommended_topk": False, "embedding_size": 16,
+         "reg_weight": 1e-4, **hp},
+    )
+    ours = get_model("SMORE")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+
+    ref_cfg = _mm_ref_config(td, tmp_path, ours, hp)
+    ref = RefSMORE(ref_cfg, _MockLoader(td))
+    ref.eval()
+
+    def copy_seq2(seq, p):  # Sequential(Linear, Sigmoid)
+        _copy_linear(seq[0], p)
+
+    def copy_q(seq, p):  # Sequential(Linear, Tanh, Linear(bias=False))
+        _copy_linear(seq[0], p["l1"])
+        with torch.no_grad():
+            seq[2].weight.copy_(torch.from_numpy(np.asarray(p["l2"]["w"])))
+
+    with torch.no_grad():
+        ref.user_embedding.weight.copy_(
+            torch.from_numpy(np.asarray(params["user_embedding"]))
+        )
+        ref.item_id_embedding.weight.copy_(
+            torch.from_numpy(np.asarray(params["item_id_embedding"]))
+        )
+        ref.image_embedding.weight.copy_(torch.from_numpy(np.asarray(ours.v_feat)))
+        ref.text_embedding.weight.copy_(torch.from_numpy(np.asarray(ours.t_feat)))
+        _copy_linear(ref.image_trs, params["image_trs"])
+        _copy_linear(ref.text_trs, params["text_trs"])
+        copy_q(ref.query_v, params["query_v"])
+        copy_q(ref.query_t, params["query_t"])
+        copy_seq2(ref.gate_v, params["gate_v"])
+        copy_seq2(ref.gate_t, params["gate_t"])
+        copy_seq2(ref.gate_f, params["gate_f"])
+        copy_seq2(ref.gate_image_prefer, params["gate_image_prefer"])
+        copy_seq2(ref.gate_text_prefer, params["gate_text_prefer"])
+        copy_seq2(ref.gate_fusion_prefer, params["gate_fusion_prefer"])
+        ref.image_complex_weight.copy_(
+            torch.from_numpy(np.asarray(params["image_complex_weight"]))
+        )
+        ref.text_complex_weight.copy_(
+            torch.from_numpy(np.asarray(params["text_complex_weight"]))
+        )
+        ref.fusion_complex_weight.copy_(
+            torch.from_numpy(np.asarray(params["fusion_complex_weight"]))
+        )
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, {}, users))
+    with torch.no_grad():
+        ref_scores = RefSMORE.full_sort_predict(
             ref, [torch.from_numpy(users.astype(np.int64))]
         )
     np.testing.assert_allclose(
