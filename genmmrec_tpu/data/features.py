@@ -34,7 +34,11 @@ def load_modal_features(config, n_items: int) -> Tuple[Optional[jnp.ndarray], Op
     if v_feat is None and t_feat is None:
         if not config["synthetic_fallback"]:
             raise AssertionError("Features all NONE")
-        rng = np.random.default_rng(0xFEA7 ^ hash(config["dataset"]) % (2**31))
+        import zlib
+
+        # stable across processes (python's hash() is randomized per run)
+        name_hash = zlib.crc32(str(config["dataset"]).encode())
+        rng = np.random.default_rng(0xFEA7 ^ name_hash % (2**31))
         v_dim = int(config["synthetic_v_feat_dim"] or 4096)
         t_dim = int(config["synthetic_t_feat_dim"] or 384)
         # CLIP-like: mostly small positive activations

@@ -171,11 +171,14 @@ def reindex_meta(meta_file: str, i_mapping_csv: str, out_csv: str) -> pd.DataFra
 def _hashing_encoder(sentences, dim: int = 384, seed: int = 0) -> np.ndarray:
     """Deterministic offline fallback: token feature hashing + tf weighting,
     L2-normalized. Keeps the full pipeline runnable with zero downloads."""
+    import zlib
+
     out = np.zeros((len(sentences), dim), np.float32)
     for i, sen in enumerate(sentences):
         for tok in sen.lower().split():
-            h = hash((tok, seed))
-            out[i, h % dim] += 1.0 if (h >> 32) & 1 else -1.0
+            # crc32, not hash(): python's hash is randomized per process
+            h = zlib.crc32(f"{tok}\x00{seed}".encode())
+            out[i, h % dim] += 1.0 if (h >> 16) & 1 else -1.0
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     return out / np.maximum(norms, 1e-12)
 

@@ -765,3 +765,115 @@ def test_smore_scores_match_reference(tiny_td, tmp_path, monkeypatch):
     np.testing.assert_allclose(
         ours_scores, ref_scores.numpy(), rtol=5e-4, atol=5e-4
     )
+
+
+def test_slmrec_scores_match_reference(tiny_td, tmp_path):
+    import torch
+
+    _ref_path()
+    _patch_scipy_dok()
+    _shim_torch_scatter()
+    from models.slmrec import SLMRec as RefSLMRec
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    hp = {
+        "recdim": 16, "layer_num": 2, "mm_fusion_mode": "concat",
+        "temp": 0.2, "ssl_task": "FAC", "ssl_temp": 0.1, "ssl_alpha": 0.01,
+        "init": "xavier", "adj_type": "pre", "dropout_rate": 0.3,
+    }
+    config = Config(
+        "SLMRec", "tiny", {"save_recommended_topk": False, **hp},
+    )
+    ours = get_model("SLMRec")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+
+    ref_cfg = _mm_ref_config(td, tmp_path, ours, {**hp, "dataset": ""})
+    ref = RefSLMRec(ref_cfg, _MockLoader(td))
+    ref.eval()
+    with torch.no_grad():
+        ref.embedding_user.weight.copy_(
+            torch.from_numpy(np.asarray(params["embedding_user"]))
+        )
+        ref.embedding_item.weight.copy_(
+            torch.from_numpy(np.asarray(params["embedding_item"]))
+        )
+        _copy_linear(ref.v_dense, params["v_dense"])
+        _copy_linear(ref.t_dense, params["t_dense"])
+        _copy_linear(ref.embedding_user_after_GCN, params["user_after"])
+        _copy_linear(ref.embedding_item_after_GCN, params["item_after"])
+        ref.all_users, ref.all_items = ref.compute()
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, {}, users))
+    with torch.no_grad():
+        ref_scores = RefSLMRec.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_damrs_scores_match_reference(tiny_td, tmp_path, monkeypatch):
+    import torch
+
+    _ref_path()
+    _patch_scipy_dok()
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    from models.damrs import DAMRS as RefDAMRS
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    # synthetic session graph dict {item: ([neighbors], [weights])}
+    rng = np.random.default_rng(7)
+    n_items = td.n_items
+    graph_dict = {}
+    for i in range(0, n_items, 3):
+        nbrs = rng.choice(n_items, size=4, replace=False).tolist()
+        graph_dict[i] = (nbrs, rng.random(4).astype(np.float32).tolist())
+    np.save(tmp_path / "item_graph_dict.npy", graph_dict, allow_pickle=True)
+    # our Config pins dataset="tiny" (the positional arg wins), so the model
+    # resolves <data_path>/tiny/; the reference config uses dataset=""
+    (tmp_path / "tiny").mkdir()
+    np.save(tmp_path / "tiny" / "item_graph_dict.npy", graph_dict, allow_pickle=True)
+
+    hp = {
+        "lambda_coeff": 0.9, "cf_model": "lightgcn", "n_ui_layers": 2,
+        "n_mm_layers": 1, "knn_k": 5, "kl_weight": 0.01,
+        "neighbor_weight": 0.1,
+        "item_graph_dict_file": "item_graph_dict.npy",
+    }
+    config = Config(
+        "DAMRS", "tiny",
+        {"save_recommended_topk": False, "embedding_size": 16,
+         "reg_weight": 1e-4, "data_path": str(tmp_path) + "/", "dataset": "",
+         **hp},
+    )
+    ours = get_model("DAMRS")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+
+    ref_cfg = _mm_ref_config(td, tmp_path, ours, hp)
+    ref = RefDAMRS(ref_cfg, _MockLoader(td))
+    ref.eval()
+    with torch.no_grad():
+        ref.user_embedding.weight.copy_(
+            torch.from_numpy(np.asarray(params["user_embedding"]))
+        )
+        ref.item_id_embedding.weight.copy_(
+            torch.from_numpy(np.asarray(params["item_id_embedding"]))
+        )
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, {}, users))
+    with torch.no_grad():
+        ref_scores = RefDAMRS.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=1e-3, atol=1e-3
+    )
