@@ -877,3 +877,199 @@ def test_damrs_scores_match_reference(tiny_td, tmp_path, monkeypatch):
     np.testing.assert_allclose(
         ours_scores, ref_scores.numpy(), rtol=1e-3, atol=1e-3
     )
+
+
+def test_diffrec_inference_matches_reference(tiny_td):
+    import torch
+
+    _ref_path()
+    from models.diffrec import DiffRec as RefDiffRec
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    hp = {
+        "steps": 10, "noise_schedule": "linear", "noise_scale": 0.1,
+        "noise_min": 0.001, "noise_max": 0.01, "dims": [32],
+        "embedding_size": 8, "dropout": 0.5, "reweight": True,
+        "sampling_steps": 0,
+    }
+    config = Config(
+        "DiffRec", "tiny", {"save_recommended_topk": False, **hp},
+    )
+    ours = get_model("DiffRec")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+    state = ours.init_state(jax.random.PRNGKey(1))
+
+    ref_cfg = {
+        "USER_ID_FIELD": "userID", "ITEM_ID_FIELD": "itemID",
+        "NEG_PREFIX": "neg_", "train_batch_size": 64, "device": "cpu",
+        "end2end": False, "is_multimodal_model": False, **hp,
+    }
+    ref = RefDiffRec(ref_cfg, _MockLoader(td))
+    ref.eval()
+    dnn = params["dnn"]
+    with torch.no_grad():
+        ref.model.emb_layer.weight.copy_(
+            torch.from_numpy(np.asarray(dnn["emb_layer"]["w"]))
+        )
+        ref.model.emb_layer.bias.copy_(
+            torch.from_numpy(np.asarray(dnn["emb_layer"]["b"]))
+        )
+        for dst, src in zip(ref.model.in_layers, dnn["in_layers"]):
+            dst.weight.copy_(torch.from_numpy(np.asarray(src["w"])))
+            dst.bias.copy_(torch.from_numpy(np.asarray(src["b"])))
+        for dst, src in zip(ref.model.out_layers, dnn["out_layers"]):
+            dst.weight.copy_(torch.from_numpy(np.asarray(src["w"])))
+            dst.bias.copy_(torch.from_numpy(np.asarray(src["b"])))
+
+    users = np.asarray(td.users[:8])
+    # sampling_steps=0 and sampling_noise=False: the full reverse chain is
+    # deterministic (p_mean only), so scores must match exactly
+    ours_scores = np.asarray(ours.scores(params, state, users))
+    with torch.no_grad():
+        ref_scores = RefDiffRec.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_pgl_scores_match_reference(tiny_td, tmp_path):
+    import torch
+
+    _ref_path()
+    _patch_scipy_dok()
+    from models.pgl import PGL as RefPGL
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    hp = {
+        "feat_embed_dim": 16, "knn_k": 5, "lambda_coeff": 0.9,
+        "n_mm_layers": 1, "n_ui_layers": 2, "mm_image_weight": 0.1,
+        "dropout": 0.1, "mode": "local",
+    }
+    config = Config(
+        "PGL", "tiny",
+        {"save_recommended_topk": False, "embedding_size": 16,
+         "reg_weight": 0.01, **hp},
+    )
+    ours = get_model("PGL")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+    state = ours.init_state(jax.random.PRNGKey(1))
+
+    ref_cfg = _mm_ref_config(td, tmp_path, ours, hp)
+    ref = RefPGL(ref_cfg, _MockLoader(td))
+    ref.eval()
+    with torch.no_grad():
+        ref.user_image.weight.copy_(
+            torch.from_numpy(np.asarray(params["user_image"]))
+        )
+        ref.user_text.weight.copy_(
+            torch.from_numpy(np.asarray(params["user_text"]))
+        )
+        ref.image_embedding.weight.copy_(torch.from_numpy(np.asarray(ours.v_feat)))
+        ref.text_embedding.weight.copy_(torch.from_numpy(np.asarray(ours.t_feat)))
+        _copy_linear(ref.image_trs, params["image_trs"])
+        _copy_linear(ref.text_trs, params["text_trs"])
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, state, users))
+    with torch.no_grad():
+        ref_scores = RefPGL.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_diffmm_forward_mm_matches_reference(tiny_td, tmp_path):
+    import torch
+
+    _ref_path()
+    _patch_scipy_dok()
+    from models.diffmm import DiffMM as RefDiffMM
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    hp = {
+        "n_layers": 2, "keep_rate": 1.0, "trans_type": 0,
+        "ris_adj_lambda": 0.2, "ris_lambda": 0.5, "cl_method": 0,
+        "ssl_reg": 0.01, "temperature": 0.5, "e_loss": 0.1,
+        "noise_scale": 0.1, "noise_min": 0.0001, "noise_max": 0.02,
+        "steps": 5, "sampling_steps": 0, "sampling_noise": False,
+        "rebuild_k": 3, "d_emb_size": 8, "norm": False, "dims": [32],
+    }
+    config = Config(
+        "DiffMM", "tiny",
+        {"save_recommended_topk": False, "embedding_size": 16,
+         "reg_weight": 1e-5, **hp},
+    )
+    ours = get_model("DiffMM")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+
+    # deterministic regenerated graphs from fixed per-user top-k choices
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    topk_img = jnp.asarray(
+        rng.integers(0, td.n_items, (td.n_users, 3)).astype(np.int32)
+    )
+    topk_txt = jnp.asarray(
+        rng.integers(0, td.n_items, (td.n_users, 3)).astype(np.int32)
+    )
+
+    state = {
+        "image_ui": ours.rebuild_ui_graph(topk_img, jax.random.PRNGKey(9)),
+        "text_ui": ours.rebuild_ui_graph(topk_txt, jax.random.PRNGKey(10)),
+    }
+
+    ref_cfg = _mm_ref_config(
+        td, tmp_path, ours, {**hp, "trans": hp["trans_type"]},
+    )
+    ref_cfg["trans_type"] = hp["trans_type"]
+    ref = RefDiffMM(ref_cfg, _MockLoader(td))
+    ref.eval()
+    with torch.no_grad():
+        ref.uEmbeds.copy_(torch.from_numpy(np.asarray(params["rec"]["uEmbeds"])))
+        ref.iEmbeds.copy_(torch.from_numpy(np.asarray(params["rec"]["iEmbeds"])))
+        ref.modal_weight.copy_(
+            torch.from_numpy(np.asarray(params["rec"]["modal_weight"]))
+        )
+        # trans_type 0: raw projection matrices
+        ref.image_trans.copy_(
+            torch.from_numpy(np.asarray(params["rec"]["image_trans"]))
+        )
+        ref.text_trans.copy_(
+            torch.from_numpy(np.asarray(params["rec"]["text_trans"]))
+        )
+
+    # hand the reference the SAME regenerated graphs as torch sparse tensors
+    def to_torch_sparse(g):
+        N = td.n_users + td.n_items
+        idx = torch.from_numpy(
+            np.stack([np.asarray(g["rows"]), np.asarray(g["cols"])]).astype(np.int64)
+        )
+        return torch.sparse_coo_tensor(
+            idx, torch.from_numpy(np.asarray(g["vals"])), (N, N)
+        )
+
+    ref.image_UI_matrix = to_torch_sparse(state["image_ui"])
+    ref.text_UI_matrix = to_torch_sparse(state["text_ui"])
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, state, users))
+    with torch.no_grad():
+        ref_scores = RefDiffMM.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=1e-3, atol=1e-3
+    )
