@@ -29,6 +29,9 @@ def _rowsum_norm_adj(users, items, n_users, n_items):
     """Rowsum-normalized symmetric adjacency (ddrm.py:347-364): degrees from
     summed values (duplicates count), inf → 0 — subtly different from the
     LightGCN builder's +1e-7 count-based degrees."""
+    from genmmrec_tpu.ops.graph import unique_ui_pairs
+
+    users, items = unique_ui_pairs(users, items)
     N = n_users + n_items
     rows = np.concatenate([users, items + n_users]).astype(np.int64)
     cols = np.concatenate([items + n_users, users]).astype(np.int64)

@@ -40,8 +40,9 @@ class PGL(RecModel):
         self.mm_image_weight = scalar(config["mm_image_weight"])
         self.dropout = scalar(config["dropout"])
 
-        users = np.asarray(data.users)
-        items = np.asarray(data.items)
+        from genmmrec_tpu.ops.graph import unique_ui_pairs
+
+        users, items = unique_ui_pairs(np.asarray(data.users), np.asarray(data.items))
         self.ui_users = jnp.asarray(users.astype(np.int32))
         self.ui_items = jnp.asarray(items.astype(np.int32))
         self.n_edges = len(users)

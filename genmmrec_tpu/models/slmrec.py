@@ -46,9 +46,11 @@ class SLMRec(RecModel):
         self.ssl_alpha = scalar(config["ssl_alpha"] or 0.01)
         self.dropout_rate = scalar(config["dropout_rate"] or 0.3)
 
-        users = np.asarray(data.users)
-        items = np.asarray(data.items)
-        # 'pre' adjacency: duplicate edges sum before normalization
+        from genmmrec_tpu.ops.graph import unique_ui_pairs
+
+        # 'pre' adjacency over DEDUPED binary edges (the reference builds it
+        # from interaction_csr.nonzero(), src/models/slmrec.py:434-440)
+        users, items = unique_ui_pairs(np.asarray(data.users), np.asarray(data.items))
         N = self.n_users + self.n_items
         rows = np.concatenate([users, items + self.n_users]).astype(np.int64)
         cols = np.concatenate([items + self.n_users, users]).astype(np.int64)

@@ -109,6 +109,23 @@ def spmm_multi(g: SparseGraph, xs):
 
 
 # ----------------------------------------------------------------------
+def unique_ui_pairs(users: np.ndarray, items: np.ndarray):
+    """Deduplicated (user, item) interaction pairs, sorted by (user, item).
+
+    The reference's graph builders all collapse duplicate interactions to a
+    single binary edge: the dict-based assemblies dedupe by construction
+    (e.g. `src/models/lightgcn.py:72-78`), and the edge-list builders start
+    from ``interaction_matrix`` after ``.astype(np.float32)``, which
+    coalesces duplicates on modern scipy (then reset values with
+    ``np.ones_like``, e.g. `src/models/ddrm.py:347-353`,
+    `src/models/layergcn.py:85-90`).
+    """
+    pairs = np.unique(
+        np.stack([users.astype(np.int64), items.astype(np.int64)], axis=1), axis=0
+    )
+    return pairs[:, 0], pairs[:, 1]
+
+
 def bipartite_norm_adj(
     users: np.ndarray,
     items: np.ndarray,

@@ -1073,3 +1073,84 @@ def test_diffmm_forward_mm_matches_reference(tiny_td, tmp_path):
     np.testing.assert_allclose(
         ours_scores, ref_scores.numpy(), rtol=1e-3, atol=1e-3
     )
+
+
+def test_ddrm_encoder_and_denoiser_match_reference(tiny_td):
+    import torch
+
+    _ref_path()
+    from models.ddrm import DDRM as RefDDRM
+
+    import genmmrec_tpu.models.ddrm as ours_mod
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    hp = {
+        "lightGCN_n_layers": 2, "keep_prob": 1.0, "A_split": False,
+        "dropout": False, "steps": 5, "alpha": 0.5, "beta": 1.0,
+        "act": "tanh", "norm": False, "sampling_steps": 0,
+        "sampling_noise": False, "dims": [32],
+        "noise_schedule": "linear-var", "noise_scale": 0.1,
+        "noise_min": 0.0001, "noise_max": 0.02,
+    }
+    config = Config(
+        "DDRM", "tiny",
+        {"save_recommended_topk": False, "embedding_size": 16,
+         "reg_weight": 1e-5, **hp},
+    )
+    ours = get_model("DDRM")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+
+    ref_cfg = {
+        "USER_ID_FIELD": "userID", "ITEM_ID_FIELD": "itemID",
+        "NEG_PREFIX": "neg_", "train_batch_size": 64, "device": "cpu",
+        "end2end": False, "is_multimodal_model": False,
+        "embedding_size": 16, "reg_weight": 1e-5, **hp,
+    }
+    ref = RefDDRM(ref_cfg, _MockLoader(td))
+    ref.eval()
+    with torch.no_grad():
+        ref.rec_model.embedding_user.weight.copy_(
+            torch.from_numpy(np.asarray(params["user_emb"]))
+        )
+        ref.rec_model.embedding_item.weight.copy_(
+            torch.from_numpy(np.asarray(params["item_emb"]))
+        )
+        for name in ("user_reverse", "item_reverse"):
+            dst = getattr(ref, f"{name}_model")
+            src = params[name]
+            dst.emb_layer.weight.copy_(
+                torch.from_numpy(np.asarray(src["emb_layer"]["w"]))
+            )
+            dst.emb_layer.bias.copy_(
+                torch.from_numpy(np.asarray(src["emb_layer"]["b"]))
+            )
+            for d, s in zip(dst.in_layers, src["in_layers"]):
+                d.weight.copy_(torch.from_numpy(np.asarray(s["w"])))
+                d.bias.copy_(torch.from_numpy(np.asarray(s["b"])))
+            for d, s in zip(dst.out_layers, src["out_layers"]):
+                d.weight.copy_(torch.from_numpy(np.asarray(s["w"])))
+                d.bias.copy_(torch.from_numpy(np.asarray(s["b"])))
+
+    # (a) LightGCN tower parity
+    u_o, i_o = ours.encode(params)
+    with torch.no_grad():
+        u_r, i_r = ref.rec_model()
+    np.testing.assert_allclose(np.asarray(u_o), u_r.numpy(), rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(i_o), i_r.numpy(), rtol=5e-4, atol=5e-4)
+
+    # (b) conditional denoiser parity on fixed inputs
+    rng = np.random.default_rng(0)
+    noise = rng.normal(size=(6, 16)).astype(np.float32)
+    cond = rng.normal(size=(6, 16)).astype(np.float32)
+    t = np.array([0, 1, 2, 3, 4, 2], np.int32)
+    out_o = ours_mod._apply_cond_dnn(
+        params["item_reverse"], noise, cond, t, "tanh", False
+    )
+    with torch.no_grad():
+        out_r = ref.item_reverse_model(
+            torch.from_numpy(noise), torch.from_numpy(cond),
+            torch.from_numpy(t.astype(np.int64)),
+        )
+    np.testing.assert_allclose(np.asarray(out_o), out_r.numpy(), rtol=5e-4, atol=5e-4)
