@@ -86,8 +86,9 @@ class CoDMR(RecModel):
         self.ssl_reg = scalar(config["ssl_reg"])
         self.mean_type = str(config["mean_type"] or "eps")
 
-        users = np.asarray(data.users)
-        items = np.asarray(data.items)
+        from genmmrec_tpu.ops.graph import unique_ui_pairs
+
+        users, items = unique_ui_pairs(np.asarray(data.users), np.asarray(data.items))
         N = self.n_users + self.n_items
         # symmetric (+I) sym-normalized UI graph (codmr.py:_build_ui_mat)
         rows = np.concatenate([users, items + self.n_users, np.arange(N)]).astype(np.int64)

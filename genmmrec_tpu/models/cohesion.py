@@ -47,8 +47,9 @@ class COHESION(RecModel):
         self.k = 40
         self.N = self.n_users + self.n_items
 
-        users = np.asarray(data.users)
-        items = np.asarray(data.items)
+        from genmmrec_tpu.ops.graph import unique_ui_pairs
+
+        users, items = unique_ui_pairs(np.asarray(data.users), np.asarray(data.items))
         self.ui_users = jnp.asarray(users.astype(np.int32))
         self.ui_items = jnp.asarray(items.astype(np.int32))
         self.n_edges = len(users)

@@ -50,8 +50,11 @@ class DiffGraph(RecModel):
         self.norm = bool(config["norm"])
         self.N = self.n_users + self.n_items
 
-        users = np.asarray(data.users).astype(np.int32)
-        items = (np.asarray(data.items) + self.n_users).astype(np.int32)
+        from genmmrec_tpu.ops.graph import unique_ui_pairs
+
+        users, items = unique_ui_pairs(np.asarray(data.users), np.asarray(data.items))
+        users = users.astype(np.int32)
+        items = (items + self.n_users).astype(np.int32)
         from genmmrec_tpu.ops.mp import sort_edges_by_dst
 
         src, dst, self._pspan = sort_edges_by_dst(

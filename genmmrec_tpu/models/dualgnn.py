@@ -46,8 +46,11 @@ class DualGNN(RecModel):
         self.drop_rate = 0.1
         self.N = self.n_users + self.n_items
 
-        users = np.asarray(data.users).astype(np.int32)
-        items_n = (np.asarray(data.items) + self.n_users).astype(np.int32)
+        from genmmrec_tpu.ops.graph import unique_ui_pairs
+
+        users, items_u = unique_ui_pairs(np.asarray(data.users), np.asarray(data.items))
+        users = users.astype(np.int32)
+        items_n = (items_u + self.n_users).astype(np.int32)
         src = np.concatenate([users, items_n])
         dst = np.concatenate([items_n, users])
         self.src = jnp.asarray(src)
@@ -58,9 +61,8 @@ class DualGNN(RecModel):
         drop_items = rng.choice(self.n_items, int(self.n_items * self.drop_rate), replace=False)
         dropv = set(drop_items[: len(drop_items) // 3].tolist())
         dropt = set(drop_items[2 * len(drop_items) // 3 :].tolist())
-        items_raw = np.asarray(data.items)
-        keep_v = ~np.isin(items_raw, list(dropv))
-        keep_t = ~np.isin(items_raw, list(dropt))
+        keep_v = ~np.isin(items_u, list(dropv))
+        keep_t = ~np.isin(items_u, list(dropt))
         from genmmrec_tpu.ops.mp import sort_edges_by_dst
 
         def mk(keep):
@@ -74,7 +76,7 @@ class DualGNN(RecModel):
         self.src_v, self.dst_v, self._span_v = mk(keep_v)
         self.src_t, self.dst_t, self._span_t = mk(keep_t)
 
-        self._build_user_graph(config, users, items_raw)
+        self._build_user_graph(config, users, items_u)
 
     def _build_user_graph(self, config, users, items):
         """Top-k user-user co-occurrence neighbors + softmax weights."""

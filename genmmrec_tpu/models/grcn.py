@@ -40,8 +40,11 @@ class GRCN(RecModel):
         self.reg_weight = scalar(config["reg_weight"])
         self.N = self.n_users + self.n_items
 
-        users = np.asarray(data.users).astype(np.int32)
-        items = (np.asarray(data.items) + self.n_users).astype(np.int32)
+        from genmmrec_tpu.ops.graph import unique_ui_pairs
+
+        users, items = unique_ui_pairs(np.asarray(data.users), np.asarray(data.items))
+        users = users.astype(np.int32)
+        items = (items + self.n_users).astype(np.int32)
         self.src_d = jnp.asarray(users)  # directed u -> i
         self.dst_d = jnp.asarray(items)
         # symmetric edges sorted by destination (Pallas segment-sum path);

@@ -51,8 +51,9 @@ class LD4MRec(RecModel):
         self.dropout = scalar(config["dropout"])
         self.min_noise_level = scalar(config["min_noise_level"] or 0.001)
 
-        users = np.asarray(data.users)
-        items = np.asarray(data.items)
+        from genmmrec_tpu.ops.graph import unique_ui_pairs
+
+        users, items = unique_ui_pairs(np.asarray(data.users), np.asarray(data.items))
 
         # SVD user encoder (host)
         from scipy.sparse import coo_matrix

@@ -53,7 +53,12 @@ class LGMRec(RecModel):
             n_rows=self.n_users,
             n_cols=self.n_items,
         ).with_span()
-        deg_u = np.bincount(users, minlength=self.n_users).astype(np.float32)
+        # reference num_inters comes from a binary (A>0) degree over the
+        # deduped dict-assembled graph (lgmrec.py:71-77)
+        from genmmrec_tpu.ops.graph import unique_ui_pairs
+
+        uu, _ii = unique_ui_pairs(users, items)
+        deg_u = np.bincount(uu, minlength=self.n_users).astype(np.float32)
         self.inv_inters_u = jnp.asarray(1.0 / (deg_u + 1e-7))
 
     def init_params(self, key):

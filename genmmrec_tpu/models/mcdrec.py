@@ -89,8 +89,9 @@ class MCDRec(RecModel):
         self.omega = 0.1
         self.steps = scalar(config["steps"], int)
 
-        users = np.asarray(data.users)
-        items = np.asarray(data.items)
+        from genmmrec_tpu.ops.graph import unique_ui_pairs
+
+        users, items = unique_ui_pairs(np.asarray(data.users), np.asarray(data.items))
         self.edge_users = jnp.asarray(users.astype(np.int32))
         self.edge_items = jnp.asarray(items.astype(np.int32))
         self.n_edges = len(users)

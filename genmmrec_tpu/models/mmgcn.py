@@ -4,7 +4,9 @@ Parity with reference `src/models/mmgcn.py:22-215`: per-modality GCN towers
 over the symmetric UI edge list — each of the 3 layers does mean-aggregated
 message passing (x@W then neighbor mean), a linear id-combination
 (``x_hat = leaky(W1 x) + id_embedding``) and a fusion layer
-(``leaky(g(h) + x_hat)``); the visual tower adds a 256-d latent projection
+(``leaky(g(cat(h, x_hat)))`` — the reference's ``concate='False'`` is a
+truthy string, so its concat branch is the behavior to match, mmgcn.py:32);
+the visual tower adds a 256-d latent projection
 and a per-user trainable preference matrix; final representation averages
 modality towers; pairwise loss via the [[1],[-1]] score matmul.
 
@@ -38,8 +40,10 @@ class MMGCN(RecModel):
         self.aggr = "mean"
         self.dim_latent_v = 256
 
-        users = np.asarray(data.users)
-        items = np.asarray(data.items) + self.n_users
+        from genmmrec_tpu.ops.graph import unique_ui_pairs
+
+        users, items = unique_ui_pairs(np.asarray(data.users), np.asarray(data.items))
+        items = items + self.n_users
         src = np.concatenate([users, items]).astype(np.int32)
         dst = np.concatenate([items, users]).astype(np.int32)
         self.N = self.n_users + self.n_items
@@ -56,13 +60,15 @@ class MMGCN(RecModel):
             "preference": xavier_normal(ks[0], (self.n_users, d_in)),
             "conv1_w": _uniform_init(ks[1], (d_in, d_in), d_in),
             "lin1": {"w": xavier_normal(ks[2], (self.dim_x, d_in)), "b": jnp.zeros((self.dim_x,))},
-            "g1": {"w": xavier_normal(ks[3], (self.dim_x, d_in)), "b": jnp.zeros((self.dim_x,))},
+            # the reference sets concate='False' — a truthy STRING — so its
+            # fusion layers actually take cat(h, x_hat) (mmgcn.py:32,134)
+            "g1": {"w": xavier_normal(ks[3], (self.dim_x, d_in + self.dim_x)), "b": jnp.zeros((self.dim_x,))},
             "conv2_w": _uniform_init(ks[4], (self.dim_x, self.dim_x), self.dim_x),
             "lin2": {"w": xavier_normal(ks[5], (self.dim_x, self.dim_x)), "b": jnp.zeros((self.dim_x,))},
-            "g2": {"w": xavier_normal(ks[6], (self.dim_x, self.dim_x)), "b": jnp.zeros((self.dim_x,))},
+            "g2": {"w": xavier_normal(ks[6], (self.dim_x, 2 * self.dim_x)), "b": jnp.zeros((self.dim_x,))},
             "conv3_w": _uniform_init(ks[7], (self.dim_x, self.dim_x), self.dim_x),
             "lin3": {"w": xavier_normal(ks[8], (self.dim_x, self.dim_x)), "b": jnp.zeros((self.dim_x,))},
-            "g3": {"w": xavier_normal(ks[9], (self.dim_x, self.dim_x)), "b": jnp.zeros((self.dim_x,))},
+            "g3": {"w": xavier_normal(ks[9], (self.dim_x, 2 * self.dim_x)), "b": jnp.zeros((self.dim_x,))},
         }
         if dim_latent:
             p["mlp"] = {
@@ -97,7 +103,7 @@ class MMGCN(RecModel):
                 )
             )
             x_hat = lrelu(lin(p[f"lin{li}"], x)) + id_embedding
-            x = lrelu(lin(p[f"g{li}"], h) + x_hat)
+            x = lrelu(lin(p[f"g{li}"], jnp.concatenate([h, x_hat], axis=1)))
         return x
 
     def forward(self, params):

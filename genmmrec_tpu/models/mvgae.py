@@ -40,8 +40,11 @@ class MVGAE(RecModel):
         self.dim_latent = 128
         self.N = self.n_users + self.n_items
 
-        users = np.asarray(data.users).astype(np.int32)
-        items = (np.asarray(data.items) + self.n_users).astype(np.int32)
+        from genmmrec_tpu.ops.graph import unique_ui_pairs
+
+        users, items = unique_ui_pairs(np.asarray(data.users), np.asarray(data.items))
+        users = users.astype(np.int32)
+        items = (items + self.n_users).astype(np.int32)
         loops = np.arange(self.N, dtype=np.int32)
         src = np.concatenate([users, items, loops])
         dst = np.concatenate([items, users, loops])

@@ -1154,3 +1154,61 @@ def test_ddrm_encoder_and_denoiser_match_reference(tiny_td):
             torch.from_numpy(t.astype(np.int64)),
         )
     np.testing.assert_allclose(np.asarray(out_o), out_r.numpy(), rtol=5e-4, atol=5e-4)
+
+
+def test_mmgcn_scores_match_reference(tiny_td, tmp_path):
+    import torch
+
+    import tests._tg_shim as tg_shim
+
+    tg_shim.install()
+    _ref_path()
+    _patch_scipy_dok()
+    from models.mmgcn import MMGCN as RefMMGCN
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    hp = {"n_layers": 2, "train_batch_size": 64}
+    config = Config(
+        "MMGCN", "tiny",
+        {"save_recommended_topk": False, "embedding_size": 16,
+         "reg_weight": 1e-5, **hp},
+    )
+    ours = get_model("MMGCN")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+
+    ref_cfg = _mm_ref_config(td, tmp_path, ours, hp)
+    ref = RefMMGCN(ref_cfg, _MockLoader(td))
+    ref.eval()
+
+    def copy_t(t, arr):
+        with torch.no_grad():
+            t.data.copy_(torch.from_numpy(np.asarray(arr)))
+
+    with torch.no_grad():
+        copy_t(ref.id_embedding, params["id_embedding"])
+        ref.image_embedding = None  # unused
+        for name, gcn, has_latent in (("v_gcn", ref.v_gcn, True), ("t_gcn", ref.t_gcn, False)):
+            p = params[name]
+            copy_t(gcn.preference, p["preference"])
+            copy_t(gcn.conv_embed_1.weight, p["conv1_w"])
+            copy_t(gcn.conv_embed_2.weight, p["conv2_w"])
+            copy_t(gcn.conv_embed_3.weight, p["conv3_w"])
+            for li in (1, 2, 3):
+                _copy_linear(getattr(gcn, f"linear_layer{li}"), p[f"lin{li}"])
+                _copy_linear(getattr(gcn, f"g_layer{li}"), p[f"g{li}"])
+            if has_latent:
+                _copy_linear(gcn.MLP, p["mlp"])
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, {}, users))
+    with torch.no_grad():
+        RefMMGCN.forward(ref)  # sets ref.result
+        ref_scores = RefMMGCN.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=1e-3, atol=1e-3
+    )
