@@ -3,8 +3,9 @@
 Parity with reference `src/models/dualgnn.py:20-350`:
 - per-modality GCN towers: user preference matrix + MLP-projected features,
   two degree-normalized propagation hops, ``x + h + h1``;
-- static modality-specific edge dropout: 10% of items are dropped from one
-  modality's edge list at init (1/3 to visual, 1/3 to text);
+- the reference builds modality-dropped edge lists at init but its GCN
+  forward never uses them (``edge_index_drop`` is ignored,
+  dualgnn.py:305-310) — towers propagate over the full symmetric edges;
 - per-epoch user-user top-k (k=40) neighborhood sampling from the
   co-occurrence dict with softmax weights, aggregated into the fused user
   representation (``weight_u``-mixed modal towers);
@@ -56,25 +57,16 @@ class DualGNN(RecModel):
         self.src = jnp.asarray(src)
         self.dst = jnp.asarray(dst)
 
-        # static modality edge dropout (dualgnn.py:79-113)
-        rng = np.random.default_rng(0)
-        drop_items = rng.choice(self.n_items, int(self.n_items * self.drop_rate), replace=False)
-        dropv = set(drop_items[: len(drop_items) // 3].tolist())
-        dropt = set(drop_items[2 * len(drop_items) // 3 :].tolist())
-        keep_v = ~np.isin(items_u, list(dropv))
-        keep_t = ~np.isin(items_u, list(dropt))
+        # the reference constructs modality-dropped edge lists but its GCN
+        # forward ignores them — both hops run on the FULL symmetric edges
+        # (dualgnn.py:305-310, edge_index_drop is an unused argument); match
+        # that: one shared sorted edge list for every tower
         from genmmrec_tpu.ops.mp import sort_edges_by_dst
 
-        def mk(keep):
-            s, d, span = sort_edges_by_dst(
-                np.concatenate([users[keep], items_n[keep]]),
-                np.concatenate([items_n[keep], users[keep]]),
-                self.N,
-            )
-            return jnp.asarray(s), jnp.asarray(d), span
-
-        self.src_v, self.dst_v, self._span_v = mk(keep_v)
-        self.src_t, self.dst_t, self._span_t = mk(keep_t)
+        s_, d_, span_ = sort_edges_by_dst(src, dst, self.N)
+        self.src_v = self.src_t = jnp.asarray(s_)
+        self.dst_v = self.dst_t = jnp.asarray(d_)
+        self._span_v = self._span_t = span_
 
         self._build_user_graph(config, users, items_u)
 
@@ -177,7 +169,12 @@ class DualGNN(RecModel):
             self.src_t, self.dst_t, self._span_t,
         )
         representation = v_rep + t_rep
-        user_stack = jnp.stack([v_rep[: self.n_users], t_rep[: self.n_users]], axis=2)
+        # the reference aliases representation = self.v_rep then does an
+        # in-place += t_rep (dualgnn.py:146-155), so its fusion actually
+        # mixes (v_rep + t_rep) with t_rep — match that behavior
+        user_stack = jnp.stack(
+            [representation[: self.n_users], t_rep[: self.n_users]], axis=2
+        )
         user_rep = jnp.einsum("udm,uml->ud", user_stack, params["weight_u"])
         item_rep = representation[self.n_users :]
         # user-user aggregation

@@ -57,11 +57,21 @@ class MessagePassing(torch.nn.Module):
                 x.size(0) if torch.is_tensor(x) else int(dst_idx.max()) + 1
             )
 
+        src_size = size[0] if size is not None else dim_size
+
         def resolve(name):
-            if name in ("edge_index", "edge_index_j", "edge_index_i"):
+            if name == "edge_index":
                 return edge_index
+            if name == "edge_index_i":  # per-edge target node index
+                return dst_idx
+            if name == "edge_index_j":  # per-edge source node index
+                return src_idx
             if name == "size":
                 return size
+            if name == "size_i":
+                return dim_size
+            if name == "size_j":
+                return src_size
             if name == "index":
                 return dst_idx
             if name.endswith("_j") and name[:-2] in kwargs:

@@ -1212,3 +1212,204 @@ def test_mmgcn_scores_match_reference(tiny_td, tmp_path):
     np.testing.assert_allclose(
         ours_scores, ref_scores.numpy(), rtol=1e-3, atol=1e-3
     )
+
+
+def test_grcn_scores_match_reference(tiny_td, tmp_path, monkeypatch):
+    import torch
+
+    import tests._tg_shim as tg_shim
+
+    tg_shim.install()
+    _ref_path()
+    _patch_scipy_dok()
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    from models.grcn import GRCN as RefGRCN
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    hp = {"latent_embedding": 16, "n_layers": 2, "train_batch_size": 64}
+    config = Config(
+        "GRCN", "tiny",
+        {"save_recommended_topk": False, "embedding_size": 16,
+         "reg_weight": 1e-5, **hp},
+    )
+    ours = get_model("GRCN")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+
+    ref_cfg = _mm_ref_config(td, tmp_path, ours, hp)
+    ref = RefGRCN(ref_cfg, _MockLoader(td))
+    ref.eval()
+
+    def copy_t(t, arr):
+        with torch.no_grad():
+            t.data.copy_(torch.from_numpy(np.asarray(arr)))
+
+    with torch.no_grad():
+        copy_t(ref.id_gcn.id_embedding, params["id_embedding"])
+        copy_t(ref.v_gcn.preference, params["v_preference"])
+        copy_t(ref.t_gcn.preference, params["t_preference"])
+        _copy_linear(ref.v_gcn.MLP, params["v_mlp"])
+        _copy_linear(ref.t_gcn.MLP, params["t_mlp"])
+        copy_t(ref.model_specific_conf, params["model_specific_conf"])
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, {}, users))
+    with torch.no_grad():
+        RefGRCN.forward(ref)  # sets ref.result
+        ref_scores = RefGRCN.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_dualgnn_scores_match_reference(tiny_td, tmp_path, monkeypatch):
+    import torch
+
+    import tests._tg_shim as tg_shim
+
+    tg_shim.install()
+    _ref_path()
+    _patch_scipy_dok()
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    from models.dualgnn import DualGNN as RefDualGNN
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    # every user gets exactly k=40 neighbors so neither side hits the
+    # random fill path in topk_sample
+    rng = np.random.default_rng(5)
+    graph_dict = {
+        u: (
+            rng.choice(td.n_users, size=40, replace=False).tolist(),
+            rng.random(40).astype(np.float64).tolist(),
+        )
+        for u in range(td.n_users)
+    }
+    np.save(tmp_path / "user_graph_dict.npy", graph_dict, allow_pickle=True)
+    (tmp_path / "tiny").mkdir()
+    np.save(tmp_path / "tiny" / "user_graph_dict.npy", graph_dict, allow_pickle=True)
+
+    hp = {"aggr_mode": "add", "user_graph_dict_file": "user_graph_dict.npy",
+          "train_batch_size": 64}
+    config = Config(
+        "DualGNN", "tiny",
+        {"save_recommended_topk": False, "embedding_size": 64,
+         "reg_weight": 1e-5, "data_path": str(tmp_path) + "/", **hp},
+    )
+    ours = get_model("DualGNN")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+
+    ref_cfg = _mm_ref_config(td, tmp_path, ours, {**hp, "embedding_size": 64})
+    ref = RefDualGNN(ref_cfg, _MockLoader(td))
+    ref.eval()
+    ref.pre_epoch_processing()
+
+    def copy_t(t, arr):
+        with torch.no_grad():
+            t.data.copy_(torch.from_numpy(np.asarray(arr)))
+
+    with torch.no_grad():
+        copy_t(ref.v_gcn.preference, params["v_preference"])
+        copy_t(ref.t_gcn.preference, params["t_preference"])
+        _copy_linear(ref.v_gcn.MLP, params["v_mlp"])
+        _copy_linear(ref.v_gcn.MLP_1, params["v_mlp1"])
+        _copy_linear(ref.t_gcn.MLP, params["t_mlp"])
+        _copy_linear(ref.t_gcn.MLP_1, params["t_mlp1"])
+        copy_t(ref.weight_u, params["weight_u"])
+        copy_t(ref.weight_i, params["weight_i"])
+
+    # on CUDA the reference's result_embed Parameter decays to a plain
+    # tensor via .to(device); emulate that so forward's assignment works
+    del ref._parameters["result_embed"]
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, {}, users))
+    with torch.no_grad():
+        # forward populates result_embed; feed a dummy interaction
+        it = torch.from_numpy(np.zeros(4, np.int64))
+        RefDualGNN.forward(ref, [torch.from_numpy(users[:4].astype(np.int64)), it.clone(), it.clone()])
+        ref_scores = RefDualGNN.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_dragon_scores_match_reference(tiny_td, tmp_path, monkeypatch):
+    import torch
+
+    import tests._tg_shim as tg_shim
+
+    tg_shim.install()
+    _ref_path()
+    _patch_scipy_dok()
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    from models.dragon import DRAGON as RefDRAGON
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    rng = np.random.default_rng(5)
+    graph_dict = {
+        u: (
+            rng.choice(td.n_users, size=40, replace=False).tolist(),
+            rng.random(40).astype(np.float64).tolist(),
+        )
+        for u in range(td.n_users)
+    }
+    np.save(tmp_path / "user_graph_dict.npy", graph_dict, allow_pickle=True)
+    (tmp_path / "tiny").mkdir()
+    np.save(tmp_path / "tiny" / "user_graph_dict.npy", graph_dict, allow_pickle=True)
+
+    hp = {"aggr_mode": "add", "user_graph_dict_file": "user_graph_dict.npy",
+          "train_batch_size": 64, "knn_k": 5, "mm_image_weight": 0.1,
+          "feat_embed_dim": 64, "n_mm_layers": 1}
+    config = Config(
+        "DRAGON", "tiny",
+        {"save_recommended_topk": False, "embedding_size": 64,
+         "reg_weight": 1e-5, "data_path": str(tmp_path) + "/", **hp},
+    )
+    ours = get_model("DRAGON")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+
+    ref_cfg = _mm_ref_config(td, tmp_path, ours, {**hp, "embedding_size": 64})
+    ref = RefDRAGON(ref_cfg, _MockLoader(td))
+    ref.eval()
+    ref.pre_epoch_processing()
+
+    def copy_t(t, arr):
+        with torch.no_grad():
+            t.data.copy_(torch.from_numpy(np.asarray(arr)))
+
+    with torch.no_grad():
+        copy_t(ref.v_gcn.preference, params["v_preference"])
+        copy_t(ref.t_gcn.preference, params["t_preference"])
+        _copy_linear(ref.v_gcn.MLP, params["v_mlp"])
+        _copy_linear(ref.v_gcn.MLP_1, params["v_mlp1"])
+        _copy_linear(ref.t_gcn.MLP, params["t_mlp"])
+        _copy_linear(ref.t_gcn.MLP_1, params["t_mlp1"])
+        copy_t(ref.weight_u, params["weight_u"])
+        copy_t(ref.weight_i, params["weight_i"])
+
+    if "result_embed" in ref._parameters:
+        del ref._parameters["result_embed"]
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, {}, users))
+    with torch.no_grad():
+        it = torch.from_numpy(np.zeros(4, np.int64))
+        RefDRAGON.forward(ref, [torch.from_numpy(users[:4].astype(np.int64)), it.clone(), it.clone()])
+        ref_scores = RefDRAGON.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=1e-3, atol=1e-3
+    )
