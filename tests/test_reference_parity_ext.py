@@ -1413,3 +1413,147 @@ def test_dragon_scores_match_reference(tiny_td, tmp_path, monkeypatch):
     np.testing.assert_allclose(
         ours_scores, ref_scores.numpy(), rtol=1e-3, atol=1e-3
     )
+
+
+def test_mvgae_scores_match_reference(tiny_td, tmp_path, monkeypatch):
+    import torch
+
+    import tests._tg_shim as tg_shim
+
+    tg_shim.install()
+    _ref_path()
+    _patch_scipy_dok()
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    from models.mvgae import MVGAE as RefMVGAE
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    hp = {"n_layers": 2, "beta": 0.1, "train_batch_size": 64}
+    config = Config(
+        "MVGAE", "tiny",
+        {"save_recommended_topk": False, "embedding_size": 16,
+         "reg_weight": 1e-5, **hp},
+    )
+    ours = get_model("MVGAE")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+
+    ref_cfg = _mm_ref_config(td, tmp_path, ours, hp)
+    ref = RefMVGAE(ref_cfg, _MockLoader(td))
+    ref.eval()
+
+    def copy_t(t, arr):
+        with torch.no_grad():
+            t.data.copy_(torch.from_numpy(np.asarray(arr)))
+
+    with torch.no_grad():
+        copy_t(ref.collaborative, params["collaborative"])
+        ref.c_gcn.features = ref.collaborative
+        for name, gcn in (("v_gcn", ref.v_gcn), ("t_gcn", ref.t_gcn), ("c_gcn", ref.c_gcn)):
+            p = params[name]
+            copy_t(gcn.preference, p["preference"])
+            _copy_linear(gcn.MLP, p["mlp"])
+            for li, (cw, gl) in (
+                ("1", ("conv1", "g1")), ("2", ("conv2", "g2")),
+            ):
+                copy_t(getattr(gcn, f"conv_embed_{li}").weight, p[cw]["w"])
+                copy_t(getattr(gcn, f"conv_embed_{li}").bias, p[cw]["b"])
+                _copy_linear(getattr(gcn, f"g_layer{li}"), p[gl])
+            for li, (cw, ll, gl) in (
+                ("4", ("conv4", "lin4", "g4")), ("5", ("conv5", "lin5", "g5")),
+            ):
+                copy_t(getattr(gcn, f"conv_embed_{li}").weight, p[cw]["w"])
+                copy_t(getattr(gcn, f"conv_embed_{li}").bias, p[cw]["b"])
+                _copy_linear(getattr(gcn, f"linear_layer{li}"), p[ll])
+                _copy_linear(getattr(gcn, f"g_layer{li}"), p[gl])
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, {}, users))
+    with torch.no_grad():
+        RefMVGAE.forward(ref)  # sets result_embed
+        ref_scores = RefMVGAE.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_cohesion_scores_match_reference(tiny_td, tmp_path, monkeypatch):
+    import torch
+
+    import tests._tg_shim as tg_shim
+
+    tg_shim.install()
+    _ref_path()
+    _patch_scipy_dok()
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    import types as _types
+
+    # cohesion imports torch_sparse at module level but never uses it
+    sys.modules.setdefault("torch_sparse", _types.ModuleType("torch_sparse"))
+    from models.cohesion import COHESION as RefCOHESION
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    rng = np.random.default_rng(5)
+    graph_dict = {
+        u: (
+            rng.choice(td.n_users, size=40, replace=False).tolist(),
+            rng.random(40).astype(np.float64).tolist(),
+        )
+        for u in range(td.n_users)
+    }
+    np.save(tmp_path / "user_graph_dict.npy", graph_dict, allow_pickle=True)
+    (tmp_path / "tiny").mkdir()
+    np.save(tmp_path / "tiny" / "user_graph_dict.npy", graph_dict, allow_pickle=True)
+
+    hp = {"feat_embed_dim": 64, "n_mm_layers": 1, "knn_k": 5,
+          "mm_image_weight": 0.1, "dropout": 0.0, "num_layer": 2,
+          "user_graph_dict_file": "user_graph_dict.npy"}
+    config = Config(
+        "COHESION", "tiny",
+        {"save_recommended_topk": False, "embedding_size": 192,
+         "reg_weight": 1e-5, "data_path": str(tmp_path) + "/", **hp},
+    )
+    ours = get_model("COHESION")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+    state = ours.init_state(jax.random.PRNGKey(1))
+
+    ref_cfg = _mm_ref_config(td, tmp_path, ours, {**hp, "embedding_size": 192})
+    ref = RefCOHESION(ref_cfg, _MockLoader(td))
+    ref.eval()
+    ref.pre_epoch_processing()
+
+    def copy_t(t, arr):
+        with torch.no_grad():
+            t.data.copy_(torch.from_numpy(np.asarray(arr)))
+
+    with torch.no_grad():
+        copy_t(ref.id_feat, params["id_feat"])
+        for name, gcn in (("id_gcn", ref.id_gcn), ("v_gcn", ref.v_gcn), ("t_gcn", ref.t_gcn)):
+            p = params[name]
+            copy_t(gcn.preference, p["preference"])
+            _copy_linear(gcn.MLP, p["mlp"])
+            _copy_linear(gcn.MLP_1, p["mlp1"])
+        copy_t(ref.weight_u, params["weight_u"])
+    # ref id_gcn holds features=id_feat by reference at construction; rebind
+    ref.id_gcn_features = ref.id_feat
+
+    if "result_embed" in ref._parameters:
+        del ref._parameters["result_embed"]
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, state, users))
+    with torch.no_grad():
+        it = torch.from_numpy(np.zeros(4, np.int64))
+        RefCOHESION.forward(ref, [torch.from_numpy(users[:4].astype(np.int64)), it.clone(), it.clone()])
+        ref_scores = RefCOHESION.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=1e-3, atol=1e-3
+    )
