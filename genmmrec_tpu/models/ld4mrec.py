@@ -22,7 +22,24 @@ import numpy as np
 
 from genmmrec_tpu.common.init import xavier_normal
 from genmmrec_tpu.models.base import RecModel, scalar
-from genmmrec_tpu.models.diffusion.dnn import timestep_embedding
+from genmmrec_tpu.models.diffusion.dnn import timestep_embedding  # noqa: F401
+
+
+def _ld4_time_embedding(t, dim):
+    """LD4MRec's own sinusoidal embedding (`src/models/ld4mrec.py:241-250`):
+    [sin, cos] order with exp(-log(1e4) * i / (half - 1)) frequencies —
+    different from the DiffRec DNN embedding."""
+    import math
+
+    half = dim // 2
+    freqs = jnp.exp(
+        jnp.arange(half, dtype=jnp.float32) * (-math.log(10000.0) / (half - 1))
+    )
+    args = t[:, None].astype(jnp.float32) * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
 
 
 def _lin(key, d_in, d_out):
@@ -67,6 +84,10 @@ class LD4MRec(RecModel):
         try:
             u, s, _ = svds(R.tocsc(), k=k)
             u, s = u[:, ::-1], s[::-1]
+            # canonicalize the per-column sign ambiguity of svds (flips with
+            # the input's storage format): largest-|entry| positive
+            flip = np.sign(u[np.abs(u).argmax(axis=0), np.arange(u.shape[1])])
+            u = u * np.where(flip == 0, 1.0, flip)[None, :]
             svd_emb = (u * np.sqrt(s)).astype(np.float32)
             if k < self.svd_k:
                 svd_emb = np.pad(svd_emb, ((0, 0), (0, self.svd_k - k)))
@@ -76,8 +97,13 @@ class LD4MRec(RecModel):
             ).astype(np.float32)
         self.user_svd_emb = jnp.asarray(svd_emb)
 
-        # one-hop normalized multimodal user aggregation (host)
-        feats = np.asarray(self.item_raw_features, np.float32)
+        # one-hop normalized multimodal user aggregation (host);
+        # LD4MRec concatenates (vision, text) — NOT the VBPR (text, vision)
+        # order of item_raw_features (`src/models/ld4mrec.py:168-171`)
+        feats = np.concatenate(
+            [np.asarray(f, np.float32) for f in (self.v_feat, self.t_feat) if f is not None],
+            axis=1,
+        )
         Rd = R.tocsr()
         du = np.asarray(Rd.sum(1)).ravel()
         di = np.asarray(Rd.sum(0)).ravel()
@@ -168,7 +194,7 @@ class LD4MRec(RecModel):
         noise = jax.random.normal(k_noise, x_in.shape)
         x_t = jnp.sqrt(ab) * x_in + jnp.sqrt(1 - ab) * noise
 
-        t_emb = timestep_embedding(t, self.cnet_hidden)
+        t_emb = _ld4_time_embedding(t, self.cnet_hidden)
         cond = self._condition(params, users)
         pred_x0 = self._cnet(params, x_t, t_emb, cond, k_drop)
         per = ((pred_x0 - x0_target) ** 2).mean(axis=1)
@@ -190,6 +216,6 @@ class LD4MRec(RecModel):
     def scores(self, params, state, users):
         x_in = self.interaction_vectors(users)
         t_val = jnp.abs(params["t_in"]).repeat(users.shape[0])
-        t_emb = timestep_embedding(t_val, self.cnet_hidden)
+        t_emb = _ld4_time_embedding(t_val, self.cnet_hidden)
         cond = self._condition(params, users)
         return self._cnet(params, x_in, t_emb, cond)

@@ -1557,3 +1557,85 @@ def test_cohesion_scores_match_reference(tiny_td, tmp_path, monkeypatch):
     np.testing.assert_allclose(
         ours_scores, ref_scores.numpy(), rtol=1e-3, atol=1e-3
     )
+
+
+class _DedupedLoader(_MockLoader):
+    """inter_matrix without duplicate pairs, so both sides see an identical
+    binary R (the single synthetic duplicate otherwise becomes a 2.0 after
+    scipy's astype coalescing on the reference side)."""
+
+    def inter_matrix(self, form="coo"):
+        import scipy.sparse as sp
+
+        pairs = np.unique(
+            np.stack(
+                [np.asarray(self.td.users), np.asarray(self.td.items)], axis=1
+            ),
+            axis=0,
+        )
+        return sp.coo_matrix(
+            (np.ones(len(pairs)), (pairs[:, 0], pairs[:, 1])),
+            shape=(self.td.n_users, self.td.n_items),
+        )
+
+
+def test_ld4mrec_inference_matches_reference(tiny_td, tmp_path):
+    import torch
+
+    _ref_path()
+    from models.ld4mrec import LD4MRec as RefLD4MRec
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    hp = {
+        "steps": 5, "noise_schedule": "linear", "noise_min": 0.001,
+        "noise_max": 0.01, "svd_k": 8, "smoothing_gamma": 0.01,
+        "cnet_hidden_size": 32, "cnet_n_layers": 2, "dropout": 0.1,
+        "min_noise_level": 0.0001,
+    }
+    config = Config(
+        "LD4MRec", "tiny",
+        {"save_recommended_topk": False, "embedding_size": 16, **hp},
+    )
+    ours = get_model("LD4MRec")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+
+    ref_cfg = _mm_ref_config(td, tmp_path, ours, hp)
+    ref = RefLD4MRec(ref_cfg, _DedupedLoader(td))
+    ref.eval()
+
+    # svds signs are ambiguous (flip with input storage format); magnitudes
+    # must agree, then hand the reference our canonicalized embeddings so
+    # the downstream network comparison is sign-consistent
+    np.testing.assert_allclose(
+        np.abs(np.asarray(ours.user_svd_emb)), np.abs(ref.user_svd_emb.numpy()),
+        rtol=2e-3, atol=2e-3,
+    )
+    ref.user_svd_emb = torch.from_numpy(np.asarray(ours.user_svd_emb))
+
+    with torch.no_grad():
+        _copy_linear(ref.mm_project, params["mm_project"])
+        _copy_linear(ref.cnet.item_proj, params["item_proj"])
+        _copy_linear(ref.cnet.cond_proj, params["cond_proj"])
+        _copy_linear(ref.cnet.time_proj, params["time_proj"])
+        _copy_linear(ref.cnet.output_proj, params["output_proj"])
+        ref.t_in.copy_(torch.from_numpy(np.asarray(params["t_in"])))
+        for dst, src in zip(ref.cnet.layers, params["layers"]):
+            dst.norm1.weight.copy_(torch.from_numpy(np.asarray(src["ln"]["g"])))
+            dst.norm1.bias.copy_(torch.from_numpy(np.asarray(src["ln"]["b"])))
+            _copy_linear(dst.linear1, src["l1"])
+            _copy_linear(dst.linear2, src["l2"])
+            _copy_linear(dst.cond_scale, src["scale"])
+            _copy_linear(dst.cond_shift, src["shift"])
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, {}, users))
+    with torch.no_grad():
+        ref_scores = RefLD4MRec.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=2e-3, atol=2e-3
+    )
