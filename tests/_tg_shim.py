@@ -15,6 +15,7 @@ import inspect
 import sys
 import types
 
+import numpy as np
 import torch
 
 
@@ -184,3 +185,77 @@ def install():
     sys.modules["torch_geometric.nn.conv"] = conv_mod
     sys.modules["torch_geometric.nn.inits"] = inits_mod
     sys.modules["torch_geometric.utils"] = utils_mod
+
+
+# ---------------------------------------------------------------------------
+# Minimal DGL shim: just enough for DiffGraph's DGLLayer (graph with
+# out/in_degrees, ndata, update_all(copy_u, sum), local_scope) and
+# dgl.graph construction from an edge tuple.
+def install_dgl():
+    if "dgl" in sys.modules:
+        return
+
+    class _Graph:
+        def __init__(self, edges, num_nodes):
+            self.src = edges[0].long()
+            self.dst = edges[1].long()
+            self.n = num_nodes
+            self.ndata = {}
+
+        def number_of_nodes(self):
+            return self.n
+
+        def out_degrees(self):
+            return torch.zeros(self.n, dtype=torch.long).index_add_(
+                0, self.src, torch.ones_like(self.src)
+            )
+
+        def in_degrees(self):
+            return torch.zeros(self.n, dtype=torch.long).index_add_(
+                0, self.dst, torch.ones_like(self.dst)
+            )
+
+        def local_scope(self):
+            import contextlib
+
+            @contextlib.contextmanager
+            def scope():
+                saved = dict(self.ndata)
+                try:
+                    yield self
+                finally:
+                    self.ndata = saved
+
+            return scope()
+
+        def update_all(self, message_func, reduce_func):
+            src_field, out_field = message_func
+            agg_field, dst_field = reduce_func
+            assert src_field in self.ndata
+            msg = self.ndata[src_field][self.src]
+            out = torch.zeros(
+                (self.n,) + tuple(msg.shape[1:]), dtype=msg.dtype
+            ).index_add_(0, self.dst, msg)
+            self.ndata[dst_field] = out
+
+        def to(self, device):
+            return self
+
+    def graph(edges, num_nodes=None):
+        src, dst = edges
+        if not torch.is_tensor(src):
+            src = torch.as_tensor(np.asarray(src))
+            dst = torch.as_tensor(np.asarray(dst))
+        n = num_nodes if num_nodes is not None else int(max(src.max(), dst.max())) + 1
+        return _Graph((src, dst), n)
+
+    fn_mod = types.ModuleType("dgl.function")
+    # copy_u/sum return (field, out) tuples consumed by update_all above
+    fn_mod.copy_u = lambda u, out: (u, out)
+    fn_mod.sum = lambda msg, out: (msg, out)
+
+    dgl_mod = types.ModuleType("dgl")
+    dgl_mod.graph = graph
+    dgl_mod.function = fn_mod
+    sys.modules["dgl"] = dgl_mod
+    sys.modules["dgl.function"] = fn_mod

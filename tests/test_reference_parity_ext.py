@@ -1639,3 +1639,70 @@ def test_ld4mrec_inference_matches_reference(tiny_td, tmp_path):
     np.testing.assert_allclose(
         ours_scores, ref_scores.numpy(), rtol=2e-3, atol=2e-3
     )
+
+
+def test_diffgraph_inference_matches_reference(tiny_td):
+    import torch
+
+    import tests._tg_shim as tg_shim
+
+    tg_shim.install_dgl()
+    _ref_path()
+    from models.diffgraph import DiffGraph as RefDiffGraph
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    hp = {
+        "gcn_layer": 2, "steps": 5, "noise_scale": 0.1, "noise_min": 0.0001,
+        "noise_max": 0.02, "dims": [32], "d_emb_size": 8, "norm": False,
+        "dropout": 0.5, "sampling_steps": 0,
+    }
+    config = Config(
+        "DiffGraph", "tiny",
+        {"save_recommended_topk": False, "embedding_size": 16,
+         "reg_weight": 1e-5, **hp},
+    )
+    ours = get_model("DiffGraph")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+
+    ref_cfg = {
+        "USER_ID_FIELD": "userID", "ITEM_ID_FIELD": "itemID",
+        "NEG_PREFIX": "neg_", "train_batch_size": 64, "device": "cpu",
+        "end2end": False, "is_multimodal_model": False,
+        "embedding_size": 16, "reg_weight": 1e-5, **hp,
+    }
+    ref = RefDiffGraph(ref_cfg, _DedupedLoader(td))
+    ref.eval()
+
+    def copy_dnn(dst, src):
+        with torch.no_grad():
+            dst.emb_layer.weight.copy_(torch.from_numpy(np.asarray(src["emb_layer"]["w"])))
+            dst.emb_layer.bias.copy_(torch.from_numpy(np.asarray(src["emb_layer"]["b"])))
+            for d, s in zip(dst.in_layers, src["in_layers"]):
+                d.weight.copy_(torch.from_numpy(np.asarray(s["w"])))
+                d.bias.copy_(torch.from_numpy(np.asarray(s["b"])))
+            for d, s in zip(dst.out_layers, src["out_layers"]):
+                d.weight.copy_(torch.from_numpy(np.asarray(s["w"])))
+                d.bias.copy_(torch.from_numpy(np.asarray(s["b"])))
+
+    with torch.no_grad():
+        ref.embedding_dict["user_emb"].copy_(
+            torch.from_numpy(np.asarray(params["user_emb"]))
+        )
+        ref.embedding_dict["item_emb"].copy_(
+            torch.from_numpy(np.asarray(params["item_emb"]))
+        )
+    copy_dnn(ref.usr_denoiser, params["usr_denoiser"])
+    copy_dnn(ref.item_denoiser, params["item_denoiser"])
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, {}, users))
+    with torch.no_grad():
+        ref_scores = RefDiffGraph.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=1e-3, atol=1e-3
+    )
