@@ -1706,3 +1706,117 @@ def test_diffgraph_inference_matches_reference(tiny_td):
     np.testing.assert_allclose(
         ours_scores, ref_scores.numpy(), rtol=1e-3, atol=1e-3
     )
+
+
+def test_genrecv1_forward_matches_reference(tiny_td, tmp_path, monkeypatch):
+    import torch
+
+    _ref_path()
+    _patch_scipy_dok()
+    _shim_torch_scatter()
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    from models.genrecv1 import GenRecV1 as RefGenRecV1
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    hp = {
+        "n_layers": 2, "keep_rate": 1.0, "sparse_temp": 1.0,
+        "temperature": 0.5, "ssl_reg1": 0.01, "ssl_reg2": 0.01,
+        "gen_topk": 3, "rebuild_k": 3, "d_emb_size": 8, "nhead": 2,
+        "num_layers": 1, "steps": 5, "flip_temp": 1.0,
+        "bayesian_samplinge_schedule": True, "sampling_steps": 0,
+        "visual_modality": True, "text_modality": True,
+        "audio_modality": False, "knn_k": 5,
+        "ssl_gen1": 0.1, "ssl_gen2": 0.1, "ssl_gen3": 0.1,
+    }
+    config = Config(
+        "GenRecV1", "tiny",
+        {"save_recommended_topk": False, "embedding_size": 16,
+         "reg_weight": 1e-5, "learning_rate": 1e-3, **hp},
+    )
+    ours = get_model("GenRecV1")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+    # deterministic generated UI graph (keep_rate=1: no dropout)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(4)
+    topk = jnp.asarray(rng.integers(0, td.n_items, (td.n_users, 3)).astype(np.int32))
+    state = {"image_ui": ours.rebuild_ui_graph(topk, jax.random.PRNGKey(7))}
+
+    ref_cfg = _mm_ref_config(
+        td, tmp_path, ours,
+        {**hp, "reg_weight": 1e-5, "learning_rate": 1e-3},
+    )
+    ref = RefGenRecV1(ref_cfg, _MockLoader(td))
+    # our BN uses batch statistics (the "batch" is always the full node set,
+    # so they equal the converged running stats); put the reference in train
+    # mode for the same semantics, with every Dropout disabled
+    ref.train()
+    for m in ref.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+
+    def copy_t(t, arr):
+        with torch.no_grad():
+            t.data.copy_(torch.from_numpy(np.asarray(arr)))
+
+    rec = params["rec"]
+    with torch.no_grad():
+        copy_t(ref.user_embedding.weight, rec["user_embedding"])
+        copy_t(ref.item_id_embedding.weight, rec["item_id_embedding"])
+        copy_t(ref.origin_weight, rec["origin_weight"])
+        copy_t(ref.generation_weight, rec["generation_weight"])
+        copy_t(ref.img_weight, rec["img_weight"])
+        copy_t(ref.txt_weight, rec["txt_weight"])
+        copy_t(ref.fusion_weight, rec["fusion_weight"])
+        copy_t(ref.res_scale, rec["res_scale"])
+        for seq, pp in (
+            (ref.image_residual_project, rec["image_residual"]),
+            (ref.image_modal_project, rec["image_modal"]),
+            (ref.text_residual_project, rec["text_residual"]),
+            (ref.text_modal_project, rec["text_modal"]),
+            (ref.gate_image_modal, rec["gate_image"]),
+            (ref.gate_text_modal, rec["gate_text"]),
+        ):
+            _copy_linear(seq[0], pp["lin"])
+            seq[1].weight.copy_(torch.from_numpy(np.asarray(pp["bn"]["g"])))
+            seq[1].bias.copy_(torch.from_numpy(np.asarray(pp["bn"]["b"])))
+        _copy_linear(ref.caculate_common[0], rec["common1"])
+        ref.caculate_common[1].weight.copy_(
+            torch.from_numpy(np.asarray(rec["common_bn"]["g"]))
+        )
+        ref.caculate_common[1].bias.copy_(
+            torch.from_numpy(np.asarray(rec["common_bn"]["b"]))
+        )
+        ref.caculate_common[3].weight.copy_(
+            torch.from_numpy(np.asarray(rec["common2"]["w"]))
+        )
+
+    # hand the reference the same graphs
+    N = td.n_users + td.n_items
+
+    def to_sp(g, shape):
+        idx = torch.from_numpy(
+            np.stack([np.asarray(g.rows if hasattr(g, "rows") else g["rows"]),
+                      np.asarray(g.cols if hasattr(g, "cols") else g["cols"])]).astype(np.int64)
+        )
+        vals = torch.from_numpy(
+            np.asarray(g.vals if hasattr(g, "vals") else g["vals"])
+        )
+        return torch.sparse_coo_tensor(idx, vals, shape)
+
+    ref.image_UI_matrix = to_sp(state["image_ui"], (N, N))
+    ref.image_II_matrix = to_sp(ours.image_II, (td.n_items, td.n_items))
+    ref.text_II_matrix = to_sp(ours.text_II, (td.n_items, td.n_items))
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, state, users))
+    with torch.no_grad():
+        ref_scores = RefGenRecV1.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=2e-3, atol=2e-3
+    )
