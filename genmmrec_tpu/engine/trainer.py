@@ -56,6 +56,15 @@ def get_trainer(model_name: Optional[str] = None):
     return mapping.get(model_name, Trainer)
 
 
+def _scalar(value, cast=float):
+    """Config values may still be hyper-grid lists when the grid was pinned
+    (e.g. hyper_parameters: [seed]); take the first entry like the models'
+    scalar() helper."""
+    if isinstance(value, list):
+        value = value[0]
+    return cast(value)
+
+
 class Trainer:
     def __init__(self, config, model, mg: bool = False):
         self.config = config
@@ -63,7 +72,7 @@ class Trainer:
         self.logger = getLogger()
 
         self.learner = str(config["learner"] or "adam")
-        self.learning_rate = float(config["learning_rate"])
+        self.learning_rate = _scalar(config["learning_rate"])
         self.epochs = int(config["epochs"])
         self.eval_step = min(int(config["eval_step"] or 1), self.epochs)
         self.stopping_step = int(config["stopping_step"])
@@ -74,6 +83,8 @@ class Trainer:
         self.train_batch_size = int(config["train_batch_size"])
         self.req_training = bool(config["req_training"])
         wd = config["weight_decay"]
+        if isinstance(wd, list):
+            wd = wd[0]
         self.weight_decay = float(eval(wd)) if isinstance(wd, str) else float(wd or 0.0)
         self.lr_schedule_cfg = config["learning_rate_scheduler"] or [1.0, 50]
         self.neg_rounds = int(config["neg_sample_rounds"] or 8)
