@@ -1820,3 +1820,81 @@ def test_genrecv1_forward_matches_reference(tiny_td, tmp_path, monkeypatch):
     np.testing.assert_allclose(
         ours_scores, ref_scores.numpy(), rtol=2e-3, atol=2e-3
     )
+
+
+def test_mcdrec_scores_and_unet_match_reference(tiny_td, tmp_path):
+    import torch
+
+    _ref_path()
+    from models.mcdrec import MCDRec as RefMCDRec
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    hp = {
+        "lightGCN_n_layers": 2, "lambda_dm": 0.1, "tau": 0.5, "rho": 0.2,
+        "steps": 5, "noise_scale": 0.1, "noise_min": 0.0001,
+        "noise_max": 0.02, "embedding_size": 16,
+    }
+    config = Config(
+        "MCDRec", "tiny",
+        {"save_recommended_topk": False, "reg_weight": 1e-5, **hp},
+    )
+    ours = get_model("MCDRec")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+    state = ours.init_state(jax.random.PRNGKey(1))
+
+    ref_cfg = _mm_ref_config(td, tmp_path, ours, hp)
+    ref = RefMCDRec(ref_cfg, _DedupedLoader(td))
+    # batch-stat BN on our side -> reference in train mode (no dropout in
+    # the UNet)
+    ref.train()
+
+    def copy_t(t, arr):
+        with torch.no_grad():
+            t.data.copy_(torch.from_numpy(np.asarray(arr)))
+
+    with torch.no_grad():
+        copy_t(ref.embedding_user.weight, params["user_emb"])
+        copy_t(ref.embedding_item.weight, params["item_emb"])
+        _copy_linear(ref.v_mlp, params["v_mlp"])
+        _copy_linear(ref.t_mlp, params["t_mlp"])
+        up = params["unet"]
+        for name, blk in (("enc1", ref.unet.enc1), ("enc2", ref.unet.enc2), ("dec1", ref.unet.dec1)):
+            p = up[name]
+            copy_t(blk[0].weight, p["c1"]["w"]); copy_t(blk[0].bias, p["c1"]["b"])
+            copy_t(blk[1].weight, p["bn1"]["g"]); copy_t(blk[1].bias, p["bn1"]["b"])
+            copy_t(blk[3].weight, p["c2"]["w"]); copy_t(blk[3].bias, p["c2"]["b"])
+            copy_t(blk[4].weight, p["bn2"]["g"]); copy_t(blk[4].bias, p["bn2"]["b"])
+        copy_t(ref.unet.final.weight, up["final"]["w"])
+        copy_t(ref.unet.final.bias, up["final"]["b"])
+        _copy_linear(ref.unet.time_mlp[0], up["time1"])
+        _copy_linear(ref.unet.time_mlp[2], up["time2"])
+
+    # (a) LightGCN scores over the initial (full) graph
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, state, users))
+    with torch.no_grad():
+        ref_scores = RefMCDRec.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=1e-3, atol=1e-3
+    )
+
+    # (b) conditional U-Net forward on fixed inputs
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(6, 16)).astype(np.float32)
+    hv = rng.normal(size=(6, 16)).astype(np.float32)
+    ht = rng.normal(size=(6, 16)).astype(np.float32)
+    t = np.array([0, 1, 2, 3, 4, 2], np.int32)
+    out_o = np.asarray(
+        ours.unet_apply(params["unet"], x, t, hv, ht)
+    )
+    with torch.no_grad():
+        out_r = ref.unet(
+            torch.from_numpy(x), torch.from_numpy(t.astype(np.int64)),
+            torch.from_numpy(hv), torch.from_numpy(ht),
+        )
+    np.testing.assert_allclose(out_o, out_r.numpy(), rtol=2e-3, atol=2e-3)
