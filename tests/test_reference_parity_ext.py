@@ -1898,3 +1898,78 @@ def test_mcdrec_scores_and_unet_match_reference(tiny_td, tmp_path):
             torch.from_numpy(hv), torch.from_numpy(ht),
         )
     np.testing.assert_allclose(out_o, out_r.numpy(), rtol=2e-3, atol=2e-3)
+
+
+def test_rf_velocity_net_matches_reference():
+    import torch
+
+    _ref_path()
+    from models.rf_modules import SimpleVelocityNet as RefVNet
+
+    from genmmrec_tpu.models.rf_modules import (
+        RFConfig,
+        apply_velocity,
+        init_velocity_net,
+    )
+
+    cfg = RFConfig(embedding_dim=16, hidden_dim=32, n_layers=2, dropout=0.1,
+                   user_guidance_scale=0.2, guidance_decay_power=2.0,
+                   cosine_guidance_scale=0.1, cosine_decay_power=2.0)
+    cond_dim = 24
+    params = init_velocity_net(jax.random.PRNGKey(0), cfg, cond_dim)
+
+    ref = RefVNet(
+        embedding_dim=16, hidden_dim=32, n_layers=2, dropout=0.1,
+        condition_dim=cond_dim, user_guidance_scale=0.2,
+        guidance_decay_power=2.0, cosine_guidance_scale=0.1,
+        cosine_decay_power=2.0,
+    )
+    with torch.no_grad():
+        _copy_linear(ref.time_embed[1], params["time_lin"])
+        _copy_linear(ref.condition_encoder[0], params["cond_lin"])
+        ref.condition_encoder[1].weight.copy_(torch.from_numpy(np.asarray(params["cond_ln"]["g"])))
+        ref.condition_encoder[1].bias.copy_(torch.from_numpy(np.asarray(params["cond_ln"]["b"])))
+        _copy_linear(ref.input_proj[0], params["in_lin"])
+        ref.input_proj[1].weight.copy_(torch.from_numpy(np.asarray(params["in_ln"]["g"])))
+        ref.input_proj[1].bias.copy_(torch.from_numpy(np.asarray(params["in_ln"]["b"])))
+        for blk, p in zip(ref.res_blocks, params["res_blocks"]):
+            _copy_linear(blk.net[0], p["l1"])
+            blk.net[1].weight.copy_(torch.from_numpy(np.asarray(p["ln1"]["g"])))
+            blk.net[1].bias.copy_(torch.from_numpy(np.asarray(p["ln1"]["b"])))
+            _copy_linear(blk.net[4], p["l2"])
+            blk.net[5].weight.copy_(torch.from_numpy(np.asarray(p["ln2"]["g"])))
+            blk.net[5].bias.copy_(torch.from_numpy(np.asarray(p["ln2"]["b"])))
+        _copy_linear(ref.output_proj[0], params["out_lin1"])
+        ref.output_proj[1].weight.copy_(torch.from_numpy(np.asarray(params["out_ln"]["g"])))
+        ref.output_proj[1].bias.copy_(torch.from_numpy(np.asarray(params["out_ln"]["b"])))
+        _copy_linear(ref.output_proj[4], params["out_lin2"])
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(6, 16)).astype(np.float32)
+    t = rng.random((6, 1)).astype(np.float32)
+    cond = rng.normal(size=(6, cond_dim)).astype(np.float32)
+    prior = rng.normal(size=(6, 16)).astype(np.float32)
+    x1 = rng.normal(size=(6, 16)).astype(np.float32)
+
+    # eval mode: no guidance terms
+    ref.eval()
+    out_o = np.asarray(apply_velocity(params, cfg, x, t, cond, train=False))
+    with torch.no_grad():
+        out_r = ref(torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(cond)).numpy()
+    np.testing.assert_allclose(out_o, out_r, rtol=1e-4, atol=1e-4)
+
+    # train mode with user-prior + cosine-gradient guidance (dropout off)
+    ref.train()
+    for m in ref.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    out_o = np.asarray(
+        apply_velocity(params, cfg, x, t, cond, train=True,
+                       user_prior=prior, x_1=x1)
+    )
+    with torch.no_grad():
+        out_r = ref(
+            torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(cond),
+            user_prior=torch.from_numpy(prior), x_1=torch.from_numpy(x1),
+        ).numpy()
+    np.testing.assert_allclose(out_o, out_r, rtol=1e-4, atol=1e-4)
