@@ -114,12 +114,37 @@ class CoDMR(RecModel):
         self.icaiMat = knn_graph_sparse(np.asarray(self.v_feat), self.knn_k, "sym")
         self.text_dim = self.t_feat.shape[1]
 
-        self.sched = make_schedule(
-            str(config["noise_schedule"] or "linear-var"),
-            scalar(config["noise_scale"]),
-            scalar(config["noise_min"]),
-            scalar(config["noise_max"]),
-            self.steps,
+        # CoDMR's own beta schedule is the latent-diffusion form:
+        # linspace(sqrt(start), sqrt(end), steps)^2
+        # (codmr_modules/gaussian_diffusioncondit.py:41-52)
+        import dataclasses as _dc
+
+        import numpy as _np
+
+        start = scalar(config["noise_scale"]) * scalar(config["noise_min"])
+        end = scalar(config["noise_scale"]) * scalar(config["noise_max"])
+        betas = (
+            _np.linspace(start**0.5, end**0.5, self.steps, dtype=_np.float64) ** 2
+        )
+        base = make_schedule("linear", 1.0, start, end, self.steps, beta_fixed=False)
+        alphas = 1.0 - betas
+        acp = _np.cumprod(alphas)
+        acp_prev = _np.concatenate([[1.0], acp[:-1]])
+        post_var = betas * (1.0 - acp_prev) / (1.0 - acp)
+        f32 = lambda x: jnp.asarray(x, jnp.float32)
+        self.sched = _dc.replace(
+            base,
+            betas=f32(betas),
+            alphas_cumprod=f32(acp),
+            alphas_cumprod_prev=f32(acp_prev),
+            sqrt_alphas_cumprod=f32(_np.sqrt(acp)),
+            sqrt_one_minus_alphas_cumprod=f32(_np.sqrt(1.0 - acp)),
+            posterior_variance=f32(post_var),
+            posterior_log_variance_clipped=f32(
+                _np.log(_np.concatenate([[post_var[1]], post_var[1:]]))
+            ),
+            posterior_mean_coef1=f32(betas * _np.sqrt(acp_prev) / (1.0 - acp)),
+            posterior_mean_coef2=f32((1.0 - acp_prev) * _np.sqrt(alphas) / (1.0 - acp)),
         )
 
     # ------------------------------------------------------------------

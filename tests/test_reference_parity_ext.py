@@ -1973,3 +1973,86 @@ def test_rf_velocity_net_matches_reference():
             user_prior=torch.from_numpy(prior), x_1=torch.from_numpy(x1),
         ).numpy()
     np.testing.assert_allclose(out_o, out_r, rtol=1e-4, atol=1e-4)
+
+
+def test_codmr_inference_matches_reference(tiny_td, tmp_path, monkeypatch):
+    import torch
+
+    _ref_path()
+    _patch_scipy_dok()
+    _shim_torch_scatter()
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    from models.codmr import CoDMR as RefCoDMR
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    hp = {
+        "hide_dim": 16, "emb_size": 10, "steps": 5, "noise_scale": 0.1,
+        "noise_min": 0.0001, "noise_max": 0.02, "mean_type": "x0",
+        "norm": False, "mlp_act_func": "tanh", "knn_k": 5,
+        "sampling_steps": 0, "uiLayers": 2, "au_uiLayers": 2,
+        "reweight": False, "elbo_weight": 0.1, "ssl_temp": 0.1,
+        "ssl_reg": 0.01, "di_pre_weight": 0.5, "con_fe_weight": 0.1,
+        "mlp_dims": [8], "reg": 0.01, "noise_schedule": "linear",
+        "mean_typeNon": "x0", "learning_rate": 1e-3,
+    }
+    config = Config(
+        "CoDMR", "tiny",
+        {"save_recommended_topk": False, "embedding_size": 16,
+         "reg_weight": 1e-5, **hp},
+    )
+    ours = get_model("CoDMR")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+
+    ref_cfg = _mm_ref_config(td, tmp_path, ours, {**hp, "latent_size": 16})
+    ref = RefCoDMR(ref_cfg, _DedupedLoader(td))
+    ref.eval()
+
+    def copy_t(t, arr):
+        with torch.no_grad():
+            t.data.copy_(torch.from_numpy(np.asarray(arr)))
+
+    with torch.no_grad():
+        copy_t(ref.embedding_dict["user_emb"], params["user_emb"])
+        copy_t(ref.embedding_dict["item_emb"], params["item_emb"])
+        copy_t(ref.embedding_dict["uinterest_emb"], params["uinterest_emb"])
+        copy_t(ref.user_emb_text, params["user_emb_text"])
+        ref.item_text_net.weight.copy_(
+            torch.from_numpy(np.asarray(params["item_text_net"]["w"]))
+        )
+        _copy_linear(ref.encodecon1[0], params["encodecon1"]["l1"])
+        _copy_linear(ref.encodecon1[2], params["encodecon1"]["l2"])
+        _copy_linear(ref.encodecon2[0], params["encodecon2"]["l1"])
+        _copy_linear(ref.encodecon2[2], params["encodecon2"]["l2"])
+        # Nodenoiser
+        non = params["non"]
+        _copy_linear(ref.Nonmodel.emb_layer, non["emb_layer"])
+        _copy_linear(ref.Nonmodel.in_layers[0], non["in"])
+        ref.Nonmodel.norm1.weight.copy_(torch.from_numpy(np.asarray(non["ln"]["g"])))
+        ref.Nonmodel.norm1.bias.copy_(torch.from_numpy(np.asarray(non["ln"]["b"])))
+        _copy_linear(ref.Nonmodel.out_layers[0], non["out"])
+        # cdenosier
+        cdn = params["cdn"]
+        _copy_linear(ref.cdnmodel.emb_layer, cdn["emb_layer"])
+        _copy_linear(ref.cdnmodel.in_layers[0], cdn["in"])
+        ref.cdnmodel.norm2.weight.copy_(torch.from_numpy(np.asarray(cdn["ln2"]["g"])))
+        ref.cdnmodel.norm2.bias.copy_(torch.from_numpy(np.asarray(cdn["ln2"]["b"])))
+        _copy_linear(ref.cdnmodel.out_layers[0], cdn["out"])
+        _copy_linear(ref.cdnmodel.in_layers1[0], cdn["in1"])
+        ref.cdnmodel.norm1.weight.copy_(torch.from_numpy(np.asarray(cdn["ln1"]["g"])))
+        ref.cdnmodel.norm1.bias.copy_(torch.from_numpy(np.asarray(cdn["ln1"]["b"])))
+        _copy_linear(ref.cdnmodel.out_layers1[0], cdn["out1"])
+        # the reference's item text features: our t_feat verbatim
+        # (copied via the feature files already)
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, {}, users))
+    with torch.no_grad():
+        ref_scores = RefCoDMR.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=2e-3, atol=2e-3
+    )
