@@ -2056,3 +2056,105 @@ def test_codmr_inference_matches_reference(tiny_td, tmp_path, monkeypatch):
     np.testing.assert_allclose(
         ours_scores, ref_scores.numpy(), rtol=2e-3, atol=2e-3
     )
+
+
+def test_mvdiff_forward_matches_reference(tiny_td, tmp_path, monkeypatch):
+    import torch
+
+    _ref_path()
+    _patch_scipy_dok()
+    _shim_torch_scatter()
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    from models.mvdiff import MVDiff as RefMVDiff
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.models import get_model
+
+    td = tiny_td
+    hp = {
+        "gcn_layer_num": 2, "keep_rate": 1.0, "modal_fusion": True,
+        "ssl_reg": 0.01, "temperature": 0.7, "sparse_temp": 0.2,
+        "noise_scale": 0.1, "noise_min": 0.0001, "noise_max": 0.02,
+        "steps": 5, "d_emb_size": 10, "norm": False,
+        "sampling_steps": 0, "sampling_noise": False, "rebuild_k": 3,
+        "high_order_topk": 2, "knn_k": 5,
+    }
+    config = Config(
+        "MVDiff", "tiny",
+        {"save_recommended_topk": False, "embedding_size": 16,
+         "reg_weight": 1e-5, **hp},
+    )
+    ours = get_model("MVDiff")(config, td)
+    params = ours.init_params(jax.random.PRNGKey(0))
+    state = ours.init_state(jax.random.PRNGKey(1))
+
+    ref_cfg = _mm_ref_config(td, tmp_path, ours, hp)
+    ref = RefMVDiff(ref_cfg, _MockLoader(td))
+    # batch-stat BN semantics (see GenRecV1 test)
+    ref.train()
+    for m in ref.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+
+    def copy_t(t, arr):
+        with torch.no_grad():
+            t.data.copy_(torch.from_numpy(np.asarray(arr)))
+
+    def copy_stack(seq, stack):
+        lins = [m for m in seq if isinstance(m, torch.nn.Linear)]
+        bns = [m for m in seq if isinstance(m, torch.nn.BatchNorm1d)]
+        assert len(lins) == len(stack)
+        for lin, bn, p in zip(lins, bns, stack):
+            _copy_linear(lin, p["lin"])
+            bn.weight.data.copy_(torch.from_numpy(np.asarray(p["bn"]["g"])))
+            bn.bias.data.copy_(torch.from_numpy(np.asarray(p["bn"]["b"])))
+
+    rec = params["rec"]
+    with torch.no_grad():
+        copy_t(ref.user_embedding.weight, rec["user_embedding"])
+        copy_t(ref.item_id_embedding.weight, rec["item_id_embedding"])
+        copy_stack(ref.image_residual_project, rec["image_residual"])
+        copy_stack(ref.image_modal_project, rec["image_modal"])
+        copy_stack(ref.text_residual_project, rec["text_residual"])
+        copy_stack(ref.text_modal_project, rec["text_modal"])
+        copy_stack(ref.gate_image_modal, [rec["gate_image"]])
+        copy_stack(ref.gate_text_modal, [rec["gate_text"]])
+        _copy_linear(ref.caculate_common[0], rec["common1"]["lin"])
+        ref.caculate_common[1].weight.copy_(
+            torch.from_numpy(np.asarray(rec["common1"]["bn"]["g"]))
+        )
+        ref.caculate_common[1].bias.copy_(
+            torch.from_numpy(np.asarray(rec["common1"]["bn"]["b"]))
+        )
+        ref.caculate_common[3].weight.copy_(
+            torch.from_numpy(np.asarray(rec["common2"]["w"]))
+        )
+
+    N = td.n_users + td.n_items
+
+    def to_sp(g, shape):
+        idx = torch.from_numpy(
+            np.stack([np.asarray(g["rows"]), np.asarray(g["cols"])]).astype(np.int64)
+        )
+        return torch.sparse_coo_tensor(
+            idx, torch.from_numpy(np.asarray(g["vals"])), shape
+        )
+
+    I = td.n_items
+    # halve each UI matrix: our forward adds image+text UI separately, the
+    # reference sums them first — identical since spmm is linear
+    ref.image_UI_matrix = to_sp(state["image_ui"], (N, N))
+    ref.text_UI_matrix = to_sp(state["text_ui"], (N, N))
+    ref.image_II_matrix = to_sp(state["image_ii"], (I, I))
+    ref.text_II_matrix = to_sp(state["text_ii"], (I, I))
+    ref.modal_fusion_II_matrix = to_sp(state["fusion_ii"], (I, I))
+
+    users = np.asarray(td.users[:8])
+    ours_scores = np.asarray(ours.scores(params, state, users))
+    with torch.no_grad():
+        ref_scores = RefMVDiff.full_sort_predict(
+            ref, [torch.from_numpy(users.astype(np.int64))]
+        )
+    np.testing.assert_allclose(
+        ours_scores, ref_scores.numpy(), rtol=2e-3, atol=2e-3
+    )
