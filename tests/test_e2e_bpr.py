@@ -131,3 +131,28 @@ def test_checkpoint_resume(tiny_splits, tmp_path):
     score, valid_res, _ = trainer2.fit(train_data, valid_data, None, saved=False, verbose=False)
     assert trainer2.start_epoch >= 1  # resumed past the saved epoch
     assert "recall@20" in valid_res
+
+
+def test_mirror_gradient_training(tiny_splits):
+    """The mg two-pass trick (reference `src/common/trainer.py:180-197`)
+    trains and evaluates end-to-end."""
+    import jax
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.data.arrays import build_eval_data, build_train_data
+    from genmmrec_tpu.engine.trainer import Trainer
+    from genmmrec_tpu.models import get_model
+
+    config = Config(
+        "BPR", "tiny",
+        {"save_recommended_topk": False, "epochs": 2, "alpha1": 1.0,
+         "alpha2": 0.3, "beta": 2},
+    )
+    _, ds, train, valid, _ = tiny_splits
+    td = build_train_data(train)
+    vd = build_eval_data(valid, train, int(config["eval_batch_size"]))
+    model = get_model("BPR")(config, td)
+    trainer = Trainer(config, model, mg=True)
+    score, result, _ = trainer.fit(td, vd, None, saved=False, verbose=False)
+    assert 0.0 <= score <= 1.0
+    assert all(v == v for v in result.values())  # no NaNs
