@@ -113,6 +113,10 @@ class LD4MRec(RecModel):
         user_mm = (Rd.multiply(du[:, None]).multiply(di[None, :])) @ feats
         self.user_mm_emb = jnp.asarray(np.asarray(user_mm, np.float32))
         self.mm_dim = feats.shape[1]
+        # large host-precomputed arrays ride as jit ARGUMENTS, not closure
+        # constants — inlined constants blow up the compiled program (the
+        # remote-compile tunnel rejects >~100MB HLO at baby scale)
+        self.buffer_names = self.buffer_names + ("user_svd_emb", "user_mm_emb")
 
         # paper noise schedule
         t = np.arange(1, self.steps + 1, dtype=np.float64)
