@@ -69,6 +69,13 @@ class LATTICE(RecModel):
         self.text_original_adj = (
             knn_graph_dense(build_sim(self.t_feat), self.knn_k) if self.t_feat is not None else None
         )
+        # the dense (n_items, n_items) modal graphs must ride as jit
+        # arguments: as closure constants they inline into the compiled
+        # program and blow the remote-compile size limit (HTTP 413 for
+        # RFLATTICE at baby scale)
+        self.buffer_names = self.buffer_names + (
+            "image_original_adj", "text_original_adj"
+        )
 
     def init_params(self, key):
         ks = jax.random.split(key, 5)
