@@ -72,12 +72,18 @@ def run_ours(dataset: str, quick: bool):
     params, opt_state = one_epoch(params, opt_state, 0)
     one_eval(params)
 
-    t0 = time.time()
-    params, opt_state = one_epoch(params, opt_state, 1)
-    t_epoch = time.time() - t0
-    t0 = time.time()
-    res = one_eval(params)
-    t_eval = time.time() - t0
+    # steady state: min over two measured epochs — the remote-attached chip
+    # adds multi-hundred-ms tunnel jitter a single sample inherits
+    t_epoch = float("inf")
+    t_eval = float("inf")
+    res = None
+    for seed in (1, 2):
+        t0 = time.time()
+        params, opt_state = one_epoch(params, opt_state, seed)
+        t_epoch = min(t_epoch, time.time() - t0)
+        t0 = time.time()
+        res = one_eval(params)
+        t_eval = min(t_eval, time.time() - t0)
     n_eval_users = vd.n_users_eval
     return {
         "epoch_s": t_epoch,
