@@ -45,5 +45,9 @@ def load_modal_features(config, n_items: int) -> Tuple[Optional[jnp.ndarray], Op
         v_feat = np.abs(rng.normal(0.0, 0.3, (n_items, v_dim))).astype(np.float32)
         t_feat = rng.normal(0.0, 0.5, (n_items, t_dim)).astype(np.float32)
 
+    # return (device, host) pairs: ctor-time graph builders must read the
+    # HOST copy — device→host downloads through the remote-attached-chip
+    # tunnel run at ~3MB/s (sports-scale features are 300MB), while
+    # host→device uploads run at >100MB/s
     to_dev = lambda x: jnp.asarray(x) if x is not None else None
-    return to_dev(v_feat), to_dev(t_feat)
+    return to_dev(v_feat), to_dev(t_feat), v_feat, t_feat

@@ -188,10 +188,10 @@ class GenRecV1Trainer(Trainer):
         ks = OPTIMAL_K.get(str(cfg["dataset"]), DEFAULT_K)
         getLogger().info("Performing Multimodal Clustering...")
         img_labels = cluster.multimodal_specific_cluster(
-            np.asarray(self.model.v_feat), "image_modal", ks.get("image", 18)
+            self.model.v_feat_np, "image_modal", ks.get("image", 18)
         )
         txt_labels = cluster.multimodal_specific_cluster(
-            np.asarray(self.model.t_feat), "text_modal", ks.get("text", 59)
+            self.model.t_feat_np, "text_modal", ks.get("text", 59)
         )
         self._debias_tables = build_debias_tables(
             np.asarray(self.model.data.users),

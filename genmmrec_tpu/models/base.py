@@ -58,8 +58,15 @@ class RecModel:
         self.batch_size = int(config["train_batch_size"])
         self.v_feat: Optional[jnp.ndarray] = None
         self.t_feat: Optional[jnp.ndarray] = None
+        self._v_feat_host = None
+        self._t_feat_host = None
         if config["is_multimodal_model"] and self.is_multimodal:
-            self.v_feat, self.t_feat = load_modal_features(config, self.n_items)
+            (
+                self.v_feat,
+                self.t_feat,
+                self._v_feat_host,
+                self._t_feat_host,
+            ) = load_modal_features(config, self.n_items)
             assert self.v_feat is not None or self.t_feat is not None, "Features all NONE"
 
     # -- pure API -------------------------------------------------------
@@ -143,6 +150,34 @@ class RecModel:
                 setattr(self, k, v)
 
     # -- conveniences ---------------------------------------------------
+    # host copies for ctor-time graph builders: device→host downloads via
+    # the remote-chip tunnel are ~3MB/s, so np.asarray(self.v_feat) on
+    # sports+ features costs minutes — use these instead
+    @property
+    def v_feat_np(self):
+        import numpy as _np
+
+        if self._v_feat_host is not None:
+            return self._v_feat_host
+        return _np.asarray(self.v_feat) if self.v_feat is not None else None
+
+    @property
+    def t_feat_np(self):
+        import numpy as _np
+
+        if self._t_feat_host is not None:
+            return self._t_feat_host
+        return _np.asarray(self.t_feat) if self.t_feat is not None else None
+
+    @property
+    def item_raw_features_np(self):
+        import numpy as _np
+
+        v, t = self.v_feat_np, self.t_feat_np
+        if v is not None and t is not None:
+            return _np.concatenate([t, v], axis=-1)
+        return v if v is not None else t
+
     @property
     def item_raw_features(self) -> jnp.ndarray:
         """Concatenated (text, vision) raw features, reference VBPR pattern

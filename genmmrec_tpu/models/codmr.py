@@ -110,8 +110,8 @@ class CoDMR(RecModel):
             symmetric=True,  # mirrored edges, joint normalization
         ).with_span()
         self.uinorm = jnp.asarray(deg.astype(np.float32))
-        self.iciMat = knn_graph_sparse(np.asarray(self.t_feat), self.knn_k, "sym")
-        self.icaiMat = knn_graph_sparse(np.asarray(self.v_feat), self.knn_k, "sym")
+        self.iciMat = knn_graph_sparse(self.t_feat_np, self.knn_k, "sym")
+        self.icaiMat = knn_graph_sparse(self.v_feat_np, self.knn_k, "sym")
         self.text_dim = self.t_feat.shape[1]
 
         # CoDMR's own beta schedule is the latent-diffusion form:

@@ -68,9 +68,9 @@ class COHESION(RecModel):
             (np.power(du, -0.5)[users] * np.power(di, -0.5)[items]).astype(np.float32)
         )
 
-        mm = knn_graph_sparse(np.asarray(self.v_feat), self.knn_k, norm_type="binary_row")
+        mm = knn_graph_sparse(self.v_feat_np, self.knn_k, norm_type="binary_row")
         mm = dataclasses.replace(mm, vals=mm.vals * self.mm_image_weight)
-        tg = knn_graph_sparse(np.asarray(self.t_feat), self.knn_k, norm_type="binary_row")
+        tg = knn_graph_sparse(self.t_feat_np, self.knn_k, norm_type="binary_row")
         tg = dataclasses.replace(tg, vals=tg.vals * (1.0 - self.mm_image_weight))
         rows2 = jnp.concatenate([mm.rows, tg.rows])
         order = jnp.argsort(rows2, stable=True)

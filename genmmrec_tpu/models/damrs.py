@@ -54,8 +54,8 @@ class DAMRS(RecModel):
         self.session_adj = self._session_graph(config, users, items)
 
     def _masked_knn_graphs(self):
-        v = np.asarray(self.v_feat, np.float32)
-        t = np.asarray(self.t_feat, np.float32)
+        v = np.asarray(self.v_feat_np, np.float32)
+        t = np.asarray(self.t_feat_np, np.float32)
         vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
         tn = t / np.maximum(np.linalg.norm(t, axis=1, keepdims=True), 1e-12)
         v_sim = vn @ vn.T

@@ -28,9 +28,9 @@ class DRAGON(DualGNN):
         self.mm_image_weight = scalar(config["mm_image_weight"] or 0.1)
         self.n_mm_layers = scalar(config["n_mm_layers"] or 1, int)
 
-        mm = knn_graph_sparse(np.asarray(self.v_feat), self.knn_k, norm_type="binary_row")
+        mm = knn_graph_sparse(self.v_feat_np, self.knn_k, norm_type="binary_row")
         mm = dataclasses.replace(mm, vals=mm.vals * self.mm_image_weight)
-        tg = knn_graph_sparse(np.asarray(self.t_feat), self.knn_k, norm_type="binary_row")
+        tg = knn_graph_sparse(self.t_feat_np, self.knn_k, norm_type="binary_row")
         tg = dataclasses.replace(tg, vals=tg.vals * (1.0 - self.mm_image_weight))
         rows2 = jnp.concatenate([mm.rows, tg.rows])
         order = jnp.argsort(rows2, stable=True)

@@ -71,10 +71,10 @@ class FREEDOM(RecModel):
         # mm_adj_freedomdsp file in the reference)
         mm = None
         if self.v_feat is not None:
-            mm = knn_graph_sparse(np.asarray(self.v_feat), self.knn_k, norm_type="binary_row")
+            mm = knn_graph_sparse(self.v_feat_np, self.knn_k, norm_type="binary_row")
             mm = dataclasses.replace(mm, vals=mm.vals * self.mm_image_weight)
         if self.t_feat is not None:
-            tg = knn_graph_sparse(np.asarray(self.t_feat), self.knn_k, norm_type="binary_row")
+            tg = knn_graph_sparse(self.t_feat_np, self.knn_k, norm_type="binary_row")
             w = (1.0 - self.mm_image_weight) if mm is not None else 1.0
             tg = dataclasses.replace(tg, vals=tg.vals * w)
             if mm is None:

@@ -104,8 +104,8 @@ class GenRecV1(RecModel):
             n_cols=self.n_items,
         ).with_span()
         # static item-item KNN modal graphs (reference _build_knn_adj)
-        self.image_II = knn_graph_sparse(np.asarray(self.v_feat), self.knn_k, "sym")
-        self.text_II = knn_graph_sparse(np.asarray(self.t_feat), self.knn_k, "sym")
+        self.image_II = knn_graph_sparse(self.v_feat_np, self.knn_k, "sym")
+        self.text_II = knn_graph_sparse(self.t_feat_np, self.knn_k, "sym")
 
     # ------------------------------------------------------------------
     def init_params(self, key):

@@ -50,8 +50,8 @@ class GUME(RecModel):
 
         from genmmrec_tpu.ops.graph import knn_graph_sparse
 
-        self.image_original_adj = knn_graph_sparse(np.asarray(self.v_feat), self.knn_k, "sym")
-        self.text_original_adj = knn_graph_sparse(np.asarray(self.t_feat), self.knn_k, "sym")
+        self.image_original_adj = knn_graph_sparse(self.v_feat_np, self.knn_k, "sym")
+        self.text_original_adj = knn_graph_sparse(self.t_feat_np, self.knn_k, "sym")
         self._build_augmented_adj(data)
 
     def _build_augmented_adj(self, data):

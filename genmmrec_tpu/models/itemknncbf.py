@@ -20,7 +20,7 @@ class ItemKNNCBF(RecModel):
         self.knn_k = scalar(config["knn_k"], int)
         self.shrink = scalar(config["shrink"] or 0.0)
 
-        feats = np.asarray(self.item_raw_features, np.float32)
+        feats = np.asarray(self.item_raw_features_np, np.float32)
         n_items = self.n_items
         norms = np.linalg.norm(feats, axis=1, keepdims=True)
         users = np.asarray(data.users)

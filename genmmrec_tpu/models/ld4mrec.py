@@ -101,7 +101,7 @@ class LD4MRec(RecModel):
         # LD4MRec concatenates (vision, text) — NOT the VBPR (text, vision)
         # order of item_raw_features (`src/models/ld4mrec.py:168-171`)
         feats = np.concatenate(
-            [np.asarray(f, np.float32) for f in (self.v_feat, self.t_feat) if f is not None],
+            [np.asarray(f, np.float32) for f in (self.v_feat_np, self.t_feat_np) if f is not None],
             axis=1,
         )
         Rd = R.tocsr()

@@ -71,8 +71,8 @@ class MGCN(RecModel):
         users = np.asarray(data.users)
         items = np.asarray(data.items)
         self.norm_adj, self.R = _sym_ui_adj(users, items, self.n_users, self.n_items)
-        self.image_original_adj = knn_graph_sparse(np.asarray(self.v_feat), self.knn_k, "sym")
-        self.text_original_adj = knn_graph_sparse(np.asarray(self.t_feat), self.knn_k, "sym")
+        self.image_original_adj = knn_graph_sparse(self.v_feat_np, self.knn_k, "sym")
+        self.text_original_adj = knn_graph_sparse(self.t_feat_np, self.knn_k, "sym")
 
     def init_params(self, key):
         ks = jax.random.split(key, 12)

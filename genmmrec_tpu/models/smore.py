@@ -37,8 +37,8 @@ class SMORE(RecModel):
         users = np.asarray(data.users)
         items = np.asarray(data.items)
         self.norm_adj, self.R = _sym_ui_adj(users, items, self.n_users, self.n_items)
-        self.image_original_adj = knn_graph_sparse(np.asarray(self.v_feat), self.image_knn_k, "sym")
-        self.text_original_adj = knn_graph_sparse(np.asarray(self.t_feat), self.text_knn_k, "sym")
+        self.image_original_adj = knn_graph_sparse(self.v_feat_np, self.image_knn_k, "sym")
+        self.text_original_adj = knn_graph_sparse(self.t_feat_np, self.text_knn_k, "sym")
         self.fusion_adj = self._max_pool_fusion()
 
     def _max_pool_fusion(self) -> SparseGraph:
