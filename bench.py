@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -302,3 +303,11 @@ def main():
 
 if __name__ == "__main__":
     main()
+    # the remote-chip tunnel's client subprocess can wedge the interpreter
+    # in its exit handlers (observed: completed runs stuck in do_wait);
+    # everything is flushed, so exit hard
+    import sys as _sys
+
+    _sys.stdout.flush()
+    _sys.stderr.flush()
+    os._exit(0)

@@ -34,3 +34,12 @@ if __name__ == "__main__":
         mg=args.mg,
         max_epochs=args.epochs,
     )
+    # the remote-chip tunnel's client subprocess can wedge the interpreter
+    # in its exit handlers (observed: completed runs stuck in do_wait);
+    # all results are logged and artifacts written, so exit hard
+    import os as _os
+    import sys as _sys
+
+    _sys.stdout.flush()
+    _sys.stderr.flush()
+    _os._exit(0)
