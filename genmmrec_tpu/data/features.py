@@ -16,10 +16,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def load_modal_features(config, n_items: int) -> Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]:
-    """Return (v_feat, t_feat) on device, either loaded or synthesized."""
+def load_modal_features(
+    config, n_items: int
+) -> Tuple[
+    Optional[jnp.ndarray], Optional[jnp.ndarray], Optional[np.ndarray], Optional[np.ndarray]
+]:
+    """Return (v_feat_dev, t_feat_dev, v_feat_host, t_feat_host), either
+    loaded or synthesized."""
     if config["end2end"] or not config["is_multimodal_model"]:
-        return None, None
+        return None, None, None, None
     dataset_path = os.path.abspath(
         os.path.join(config["data_path"] or "./data/", config["dataset"] or "")
     )

@@ -40,7 +40,13 @@ import optax
 
 from genmmrec_tpu.data.arrays import EvalData, TrainData, sample_negatives
 from genmmrec_tpu.engine.evaluator import TopKEvaluator
-from genmmrec_tpu.parallel.mesh import build_mesh, data_sharding, replicated
+from genmmrec_tpu.parallel.mesh import (
+    MODEL_AXIS,
+    build_mesh,
+    data_sharding,
+    replicated,
+    sharded_topk,
+)
 from genmmrec_tpu.utils.misc import dict2str, early_stopping, get_local_time
 
 
@@ -107,7 +113,13 @@ class Trainer:
         self.train_loss_dict = {}
         self.evaluator = TopKEvaluator(config)
 
-        self.mesh = build_mesh(config)
+        try:
+            self.mesh = build_mesh(config)
+        except (ValueError, RuntimeError) as e:
+            self.logger.warning(
+                "mesh build failed (%s) — running single-device, no sharding", e
+            )
+            self.mesh = None
         self.use_wandb = bool(config["use_wandb"])
         self._wandb = None
         if self.use_wandb:
@@ -188,17 +200,23 @@ class Trainer:
         grad_fn = jax.value_and_grad(model.loss_and_update, has_aux=True)
 
         # multi-chip: batches split over the mesh data axis (params stay
-        # replicated; XLA inserts the psum over per-shard gradients)
+        # replicated unless model-sharded in fit(); XLA inserts the psum
+        # over per-shard gradients)
         batch_sharding = None
         if jax.device_count() > 1:
-            try:
-                from genmmrec_tpu.parallel.mesh import build_mesh, data_sharding
-
-                mesh = build_mesh(self.config)
-                if B % mesh.shape["data"] == 0:
-                    batch_sharding = data_sharding(mesh)
-            except (ValueError, RuntimeError):
-                batch_sharding = None
+            if self.mesh is None:
+                self.logger.warning(
+                    "multi-device run but mesh build failed — training "
+                    "batches stay single-device (check mesh_shape)"
+                )
+            elif B % self.mesh.shape["data"] != 0:
+                self.logger.warning(
+                    "train_batch_size %d not divisible by data axis %d — "
+                    "batch sharding DISABLED for this run",
+                    B, self.mesh.shape["data"],
+                )
+            else:
+                batch_sharding = data_sharding(self.mesh)
 
         def batch_step(carry, xs):
             # model.data is the trace-time BOUND TrainData (a jit argument,
@@ -289,6 +307,19 @@ class Trainer:
         B = self.eval_batch_size
         n_items = self.model.n_items
         k_eff = min(max_k, n_items)
+        # item-sharded eval: when a model axis exists, lay the (B, n_items)
+        # score matrix's item dim over it and merge per-shard top-k results
+        # (parallel.mesh.sharded_topk) instead of all-gathering full scores
+        topk_mesh = None
+        if self.mesh is not None and self.mesh.shape[MODEL_AXIS] > 1:
+            if n_items % self.mesh.shape[MODEL_AXIS] == 0:
+                topk_mesh = self.mesh
+            else:
+                self.logger.warning(
+                    "n_items %d not divisible by model axis %d — eval "
+                    "top-k stays unsharded",
+                    n_items, self.mesh.shape[MODEL_AXIS],
+                )
 
         # models with user-independent eval computation (full propagated
         # matrices, CoDMR's two-stage p_sample, ...) provide eval_artifacts
@@ -324,7 +355,10 @@ class Trainer:
                         # scatter -inf over train positives; col n_items drops
                         rows = jnp.arange(u.shape[0])[:, None]
                         scores = scores.at[rows, m].set(-1e10, mode="drop")
-                    _, topk = jax.lax.top_k(scores, k_eff)
+                    if topk_mesh is not None:
+                        _, topk = sharded_topk(scores, k_eff, topk_mesh)
+                    else:
+                        _, topk = jax.lax.top_k(scores, k_eff)
                     if k_eff < max_k:  # tiny catalogs: pad with -1 (no item)
                         topk = jnp.pad(
                             topk, ((0, 0), (0, max_k - k_eff)), constant_values=-1
@@ -385,6 +419,30 @@ class Trainer:
 
         params = self.model.init_params(k_init)
         self._state = self.model.init_state(k_state)
+        # model-axis parameter sharding (embedding tables row-sharded over
+        # ICI when mesh_shape requests a model axis); the optimizer init
+        # runs AFTER placement so moments inherit the sharding
+        if self.mesh is not None and self.mesh.shape[MODEL_AXIS] > 1:
+            from genmmrec_tpu.parallel.mesh import shard_model_params
+
+            params = shard_model_params(self.model, params, self.mesh)
+            n_sharded = sum(
+                1
+                for leaf in jax.tree_util.tree_leaves(params)
+                if hasattr(leaf, "sharding")
+                and not leaf.sharding.is_fully_replicated
+            )
+            if n_sharded:
+                self.logger.info(
+                    "model-axis sharding: %d embedding tables row-sharded "
+                    "over %d-way model axis",
+                    n_sharded, self.mesh.shape[MODEL_AXIS],
+                )
+            else:
+                self.logger.warning(
+                    "mesh_shape requests a model axis but no parameter leaf "
+                    "qualified for sharding (table rows must divide the axis)"
+                )
         optimizer, train_epoch = self._build_train_step(td)
         opt_state = optimizer.init(params)
 
@@ -563,18 +621,19 @@ class Trainer:
         across devices, with parameters replicated — sharding propagates
         from these input annotations (no distributed layer exists in the
         reference; `SURVEY.md` §2.5)."""
-        if jax.device_count() <= 1:
+        if jax.device_count() <= 1 or self.mesh is None:
             return users, mask_items
-        try:
-            from genmmrec_tpu.parallel.mesh import build_mesh, data_sharding
-
-            mesh = build_mesh(self.config)
-            if self.eval_batch_size % mesh.shape["data"] != 0:
-                return users, mask_items
-            sh = data_sharding(mesh)
-            return jax.device_put(users, sh), jax.device_put(mask_items, sh)
-        except (ValueError, RuntimeError):
+        if self.eval_batch_size % self.mesh.shape["data"] != 0:
+            if not getattr(self, "_warned_eval_shard", False):
+                self.logger.warning(
+                    "eval_batch_size %d not divisible by data axis %d — "
+                    "eval stays single-device over users",
+                    self.eval_batch_size, self.mesh.shape["data"],
+                )
+                self._warned_eval_shard = True
             return users, mask_items
+        sh = data_sharding(self.mesh)
+        return jax.device_put(users, sh), jax.device_put(mask_items, sh)
 
     def evaluate(self, params, eval_data: EvalData, is_test: bool = False, idx: int = 0):
         if self._eval_fn is None:

@@ -121,6 +121,15 @@ class CoDMR(RecModel):
 
         import numpy as _np
 
+        # the reference force-rewrites any configured schedule to this
+        # sqrt-space branch; fail loudly on values it would silently ignore
+        noise_schedule = config["noise_schedule"] or "linear"
+        if noise_schedule not in ("linear", "linear-var"):
+            raise ValueError(
+                f"CoDMR supports only linear/linear-var noise_schedule "
+                f"(got {noise_schedule!r}); the reference rewrites both to "
+                f"the sqrt-space schedule"
+            )
         start = scalar(config["noise_scale"]) * scalar(config["noise_min"])
         end = scalar(config["noise_scale"]) * scalar(config["noise_max"])
         betas = (

@@ -101,10 +101,16 @@ class LayerGCN(RecModel):
         adj = self._graph(vals)
         x = ego
         acc = jnp.zeros_like(ego)
-        ego_n = ego / jnp.maximum(jnp.linalg.norm(ego, axis=-1, keepdims=True), 1e-12)
+        # safe norm: sqrt(max(Σx², ε)) — plain linalg.norm has a NaN gradient
+        # at x=0, and edge pruning CAN zero out a low-degree node's whole row
+        # (torch's F.cosine_similarity clamps the same way)
+        safe_n = lambda v: v / jnp.sqrt(
+            jnp.maximum((v * v).sum(-1, keepdims=True), 1e-24)
+        )
+        ego_n = safe_n(ego)
         for _ in range(self.n_layers):
             x = spmm(adj, x)
-            x_n = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+            x_n = safe_n(x)
             weights = (x_n * ego_n).sum(-1)
             x = weights[:, None] * x
             acc = acc + x

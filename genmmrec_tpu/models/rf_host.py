@@ -115,7 +115,7 @@ class RFHostMixin:
         k_rf = jax.random.fold_in(key, 1317)
         target = sg(self.rf_host_repr(params, state))
         conditions = sg(self._rf_conditions(params))
-        rf_total, _, _ = rf.rf_losses_staged(
+        rf_total, rf_flow, rf_cl = rf.rf_losses_staged(
             params["rf"],
             self.rf_cfg,
             k_rf,
@@ -127,8 +127,9 @@ class RFHostMixin:
             batch["pos"],
             batch["weight"],
         )
-        total = total + rf_total
-        return total, (total,)
+        # report each part like the reference RF hosts do (host parts, then
+        # the RF straight-path and contrastive losses separately)
+        return total + rf_total, tuple(parts) + (rf_flow, rf_cl)
 
     def full_embeddings(self, params, state):
         if not self.use_rf:

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -63,3 +64,83 @@ def shard_pytree(tree, sharding):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return -(-n // m) * m
+
+
+def model_axis_size(mesh: Mesh) -> int:
+    return mesh.shape[MODEL_AXIS]
+
+
+def shard_model_params(model, params, mesh: Mesh):
+    """Row-shard embedding-table-like parameter leaves over ``model``.
+
+    A leaf qualifies when it is 2-D and its leading dim is the user count,
+    item count, or their sum (the LightGCN-pattern stacked table) and splits
+    evenly over the axis. Everything else is replicated. The optimizer state
+    must be (re)initialized AFTER this so the moments inherit the placement.
+
+    SURVEY §2.5 names "model-sharded embedding tables" as a capability the
+    green-field distributed layer adds over the reference (which has none).
+    """
+    m = model_axis_size(mesh)
+    if m <= 1:
+        return params
+    table_rows = {
+        int(model.n_users),
+        int(model.n_items),
+        int(model.n_users) + int(model.n_items),
+    }
+    row_sh = NamedSharding(mesh, P(MODEL_AXIS, None))
+    repl = NamedSharding(mesh, P())
+
+    def place(x):
+        if (
+            hasattr(x, "ndim")
+            and x.ndim == 2
+            and x.shape[0] in table_rows
+            and x.shape[0] % m == 0
+        ):
+            return jax.device_put(x, row_sh)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(place, params)
+
+
+def sharded_topk(scores, k: int, mesh: Mesh):
+    """Distributed top-k over an item-sharded score matrix.
+
+    ``scores`` is (B, n_items) with the item axis laid out over ``model``:
+    each shard computes a LOCAL ``lax.top_k`` (n/S candidates -> k), then the
+    S*k survivors are merged by one tiny global top-k — the cross-chip
+    ``lax.top_k + all_gather`` merge SURVEY §2.5 calls for, instead of
+    letting XLA all-gather the full score matrix.
+
+    Returns (values, indices) exactly like ``jax.lax.top_k``.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    S = model_axis_size(mesh)
+    n = scores.shape[-1]
+    if S <= 1 or n % S != 0 or (n // S) < k:
+        return jax.lax.top_k(scores, k)
+
+    scores = jax.lax.with_sharding_constraint(
+        scores, NamedSharding(mesh, P(None, MODEL_AXIS))
+    )
+
+    def local_topk(s):
+        v, i = jax.lax.top_k(s, k)
+        offset = jax.lax.axis_index(MODEL_AXIS) * (n // S)
+        return v, i + offset
+
+    v, i = shard_map(
+        local_topk,
+        mesh=mesh,
+        in_specs=P(None, MODEL_AXIS),
+        out_specs=P(None, MODEL_AXIS),
+    )(scores)
+    # v/i are (B, S*k) globally; the final merge runs on S*k values only
+    vm, pos = jax.lax.top_k(v, k)
+    return vm, jnp.take_along_axis(i, pos, axis=1)

@@ -60,12 +60,20 @@ def run_one(model: str, dataset: str, epochs: int, timeout: int):
         )
         out = res.stdout + res.stderr
         dt = time.time() - t0
-        m = re.findall(r"recall@20: ([0-9.]+)", out)
         ok = res.returncode == 0 and "BEST" in out
+        # anchor the parse to the final BEST block's Valid section —
+        # positional indexing over all matches silently records a mid-epoch
+        # or test value if logging is ever reordered
+        valid_r20 = None
+        if ok:
+            best = out[out.rfind("BEST"):]
+            tpos = best.find("Test:")
+            m = re.search(r"recall@20: ([0-9.]+)", best[: tpos if tpos > 0 else None])
+            valid_r20 = float(m.group(1)) if m else None
         tail = "" if ok else out[-2000:]
         return {
             "ok": ok, "seconds": round(dt, 1),
-            "valid_recall@20": float(m[-2]) if len(m) >= 2 else None,
+            "valid_recall@20": valid_r20,
             "returncode": res.returncode, "tail": tail,
         }
     except subprocess.TimeoutExpired:

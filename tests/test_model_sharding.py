@@ -1,0 +1,105 @@
+"""Model-axis sharding in the REAL fit path (VERDICT r1 item #3).
+
+Runs on the 8-virtual-device CPU mesh from conftest. Asserts that a
+``mesh_shape: {data: 2, model: 4}`` run — embedding tables row-sharded,
+batches data-sharded, eval top-k merged across item shards — reproduces the
+single-device metrics of an identical fit.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _fit(model_name, mesh_shape, topk=(5, 10)):
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.data.arrays import build_eval_data, build_train_data
+    from genmmrec_tpu.data.dataset import RecDataset
+    from genmmrec_tpu.engine.trainer import Trainer
+    from genmmrec_tpu.models import get_model
+
+    overrides = {
+        "epochs": 2,
+        "save_recommended_topk": False,
+        "hyper_parameters": ["seed"],
+        "topk": list(topk),
+        "metrics": ["Recall", "NDCG"],
+        "valid_metric": f"Recall@{max(topk)}",
+    }
+    if mesh_shape is not None:
+        overrides["mesh_shape"] = mesh_shape
+    config = Config(model_name, "tiny", overrides)
+    ds = RecDataset(config)
+    train, valid, test = ds.split()
+    td = build_train_data(train)
+    ebs = int(config["eval_batch_size"])
+    vd = build_eval_data(valid, train, ebs)
+    sd = build_eval_data(test, train, ebs)
+    model = get_model(model_name)(config, td)
+    trainer = Trainer(config, model)
+    score, valid_res, test_res = trainer.fit(td, vd, sd)
+    return score, valid_res, test_res, trainer.params
+
+
+@pytest.mark.parametrize("model_name", ["BPR", "LightGCN"])
+def test_model_sharded_fit_matches_single_device(model_name):
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    s_ref, v_ref, t_ref, p_ref = _fit(model_name, None)
+    s_sh, v_sh, t_sh, p_sh = _fit(model_name, {"data": 2, "model": 4})
+
+    # trained parameters equal up to collective reduction order
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_sh)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4)
+
+    assert np.isclose(s_ref, s_sh, atol=2e-3), (s_ref, s_sh)
+    for k in v_ref:
+        assert np.isclose(v_ref[k], v_sh[k], atol=2e-3), (k, v_ref[k], v_sh[k])
+    for k in t_ref:
+        assert np.isclose(t_ref[k], t_sh[k], atol=2e-3), (k, t_ref[k], t_sh[k])
+
+
+def test_sharded_params_actually_sharded():
+    """The fit path must place qualifying tables on the model axis (not
+    silently replicate)."""
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.data.arrays import build_train_data
+    from genmmrec_tpu.data.dataset import RecDataset
+    from genmmrec_tpu.models import get_model
+    from genmmrec_tpu.parallel.mesh import build_mesh, shard_model_params
+
+    config = Config(
+        "BPR", "tiny", {"mesh_shape": {"data": 2, "model": 4},
+                        "save_recommended_topk": False},
+    )
+    ds = RecDataset(config)
+    train, _, _ = ds.split()
+    td = build_train_data(train)
+    model = get_model("BPR")(config, td)
+    params = model.init_params(jax.random.PRNGKey(0))
+    mesh = build_mesh(config)
+    sharded = shard_model_params(model, params, mesh)
+    specs = {
+        k: str(v.sharding.spec) for k, v in sharded.items() if hasattr(v, "sharding")
+    }
+    n_row_sharded = sum("model" in s for s in specs.values())
+    assert n_row_sharded >= 2, specs  # user AND item tables
+
+
+def test_sharded_topk_matches_plain():
+    from genmmrec_tpu.parallel.mesh import build_mesh, sharded_topk
+
+    mesh = build_mesh(None, devices=jax.devices()[:8])  # 8-way data axis
+    # reshape to put 4 devices on model: build explicitly
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "model"))
+    rng = np.random.default_rng(0)
+    scores = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
+
+    v_ref, i_ref = jax.lax.top_k(scores, 7)
+    v_sh, i_sh = jax.jit(lambda s: sharded_topk(s, 7, mesh))(scores)
+    np.testing.assert_allclose(np.asarray(v_ref), np.asarray(v_sh), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_sh))
