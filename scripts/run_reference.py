@@ -46,6 +46,13 @@ def install_shims():
         if not hasattr(np, alias):
             setattr(np, alias, typ)
 
+    # the reference's adjacency builders call scipy's removed private
+    # dok_matrix._update (lightgcn.py:86 etc.); restore the raw dict update
+    import scipy.sparse as sp
+
+    if not hasattr(sp.dok_matrix, "_update"):
+        sp.dok_matrix._update = lambda self, data: dict.update(self, data)
+
     if "torchvision" not in sys.modules:
         # dormant raw-image path only (end2end False); transforms never run
         tv = types.ModuleType("torchvision")

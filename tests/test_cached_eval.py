@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from genmmrec_tpu.config import Config
 from genmmrec_tpu.data.arrays import build_train_data
 from genmmrec_tpu.data.dataset import RecDataset

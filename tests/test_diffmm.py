@@ -2,6 +2,9 @@
 regeneration, BPR/CL epoch) on the tiny synthetic dataset."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_diffmm_end_to_end():

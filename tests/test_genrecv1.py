@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def test_flip_schedules_monotone():
     import jax.numpy as jnp

@@ -1,3 +1,6 @@
+import pytest
+
+pytestmark = pytest.mark.slow
 def test_mvdiff_end_to_end():
     import numpy as np
     from genmmrec_tpu.config import Config

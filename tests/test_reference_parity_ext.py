@@ -16,9 +16,10 @@ import numpy as np
 import pytest
 
 REF = "/root/reference/GenMMRec/src"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference tree not mounted"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree not mounted"),
+]
 
 
 def _ref_path():
