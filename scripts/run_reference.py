@@ -47,11 +47,14 @@ def install_shims():
             setattr(np, alias, typ)
 
     # the reference's adjacency builders call scipy's removed private
-    # dok_matrix._update (lightgcn.py:86 etc.); restore the raw dict update
+    # dok_matrix._update (lightgcn.py:86 etc.). In scipy>=1.12 dok storage
+    # lives in self._dict, NOT the dict-self — `dict.update(self, ...)` would
+    # "succeed" while leaving the matrix all-zeros, so route to the internal
+    # store exactly like the old private method did.
     import scipy.sparse as sp
 
     if not hasattr(sp.dok_matrix, "_update"):
-        sp.dok_matrix._update = lambda self, data: dict.update(self, data)
+        sp.dok_matrix._update = lambda self, data: self._dict.update(data)
 
     if "torchvision" not in sys.modules:
         # dormant raw-image path only (end2end False); transforms never run
