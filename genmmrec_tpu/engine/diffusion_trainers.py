@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import optax
 
 from genmmrec_tpu.engine.trainer import Trainer
+from genmmrec_tpu.parallel.mesh import item_sharded
 
 
 class DiffMMTrainer(Trainer):
@@ -47,9 +48,13 @@ class DiffMMTrainer(Trainer):
         self._n_user_batches = -(-U // B)
         U_pad = self._n_user_batches * B
         self._diff_opt = optax.adam(self.learning_rate)
+        mesh = self.mesh
 
         def user_vectors(users):
-            return model.interaction_vectors(users)
+            # item axis over the model mesh axis: at elec scale the (B,
+            # n_items) per-user vectors are the dominant diffusion-phase
+            # activation (SURVEY hard part #4)
+            return item_sharded(model.interaction_vectors(users), mesh)
 
         def diffusion_batch(carry, xs):
             dn_img, dn_txt, opt_i, opt_t, i_embeds, img_feats, txt_feats = carry
@@ -106,7 +111,9 @@ class DiffMMTrainer(Trainer):
                 def topk_for(dn_params):
                     def one(u):
                         x_start = user_vectors(jnp.minimum(u, U - 1))
-                        denoised = model.p_sample_users(dn_params, x_start)
+                        denoised = item_sharded(
+                            model.p_sample_users(dn_params, x_start), mesh
+                        )
                         _, idx = jax.lax.top_k(denoised, model.rebuild_k)
                         return idx
 
@@ -214,12 +221,16 @@ class GenRecV1Trainer(Trainer):
         self._diff_opt = optax.adam(self.learning_rate)
         sample_ratio = float(self.config["sample_ratio"] or 0.1)
         debias_tables = self._debias_tables
+        mesh = self.mesh
+
+        def user_vectors(users):
+            return item_sharded(model.interaction_vectors(users), mesh)
 
         def diffusion_batch(carry, xs):
             dn, opt_s, i_embeds, img_feats, txt_feats = carry
             users, key = xs
             valid = (users < U).astype(jnp.float32)
-            x_start = model.interaction_vectors(jnp.minimum(users, U - 1)) * valid[:, None]
+            x_start = user_vectors(jnp.minimum(users, U - 1)) * valid[:, None]
 
             def loss_fn(dn):
                 return model.diffusion_losses(
@@ -255,7 +266,7 @@ class GenRecV1Trainer(Trainer):
             def one(xs):
                 u, kg, kd = xs
                 u_c = jnp.minimum(u, U - 1)
-                x_start = model.interaction_vectors(u_c)
+                x_start = user_vectors(u_c)
                 blended, probs = model.generate(params["denoise_image"], x_start, kg)
                 if debias_tables is not None:
                     blended = _debias(kd, u_c, x_start, blended)
@@ -340,6 +351,10 @@ class MVDiffTrainer(Trainer):
         I_pad = self._n_item_batches * B
         self._feat_opt = optax.adam(self.learning_rate)
         self._ui_opt = optax.adam(self.learning_rate)
+        mesh = self.mesh
+
+        def user_vectors(users):
+            return item_sharded(model.interaction_vectors(users), mesh)
 
         # ---- phase 1: feature diffusion training ----------------------
         def feat_batch(carry, xs):
@@ -419,7 +434,7 @@ class MVDiffTrainer(Trainer):
             users, key = xs
             k1, k2 = jax.random.split(key)
             valid = (users < U).astype(jnp.float32)
-            x = model.interaction_vectors(jnp.minimum(users, U - 1)) * valid[:, None]
+            x = user_vectors(jnp.minimum(users, U - 1)) * valid[:, None]
 
             def lf(dn, feats, k):
                 diff, gc, contra = model.sparsity_losses(dn, x, i_emb, feats, k)
@@ -467,7 +482,7 @@ class MVDiffTrainer(Trainer):
             hk = rk + model.high_order_topk
 
             def img_topk(u):
-                x = model.interaction_vectors(jnp.minimum(u, U - 1))
+                x = user_vectors(jnp.minimum(u, U - 1))
                 den = model.sparsity_p_sample(params["denoise_image"], x)
                 _, interest = jax.lax.top_k(den, rk)  # (B, rk)
                 # high-order multimodal expansion (trainer.py:1046-1062)
@@ -482,7 +497,7 @@ class MVDiffTrainer(Trainer):
                 return jnp.take_along_axis(flat_i, sel, axis=1)  # (B, hk)
 
             def txt_topk(u):
-                x = model.interaction_vectors(jnp.minimum(u, U - 1))
+                x = user_vectors(jnp.minimum(u, U - 1))
                 den = model.sparsity_p_sample(params["denoise_text"], x)
                 _, idx = jax.lax.top_k(den, rk)
                 return idx

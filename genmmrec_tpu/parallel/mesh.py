@@ -84,25 +84,50 @@ def shard_model_params(model, params, mesh: Mesh):
     m = model_axis_size(mesh)
     if m <= 1:
         return params
+    n_items = int(model.n_items)
     table_rows = {
         int(model.n_users),
-        int(model.n_items),
-        int(model.n_users) + int(model.n_items),
+        n_items,
+        int(model.n_users) + n_items,
     }
     row_sh = NamedSharding(mesh, P(MODEL_AXIS, None))
+    vec_sh = NamedSharding(mesh, P(MODEL_AXIS))
     repl = NamedSharding(mesh, P())
 
     def place(x):
-        if (
-            hasattr(x, "ndim")
-            and x.ndim == 2
-            and x.shape[0] in table_rows
-            and x.shape[0] % m == 0
-        ):
+        if not hasattr(x, "ndim"):
+            return x
+        # 2-D tables and denoiser out-projections (n_items, hidden): the
+        # item/user dim leads, so row-sharding splits the catalog
+        if x.ndim == 2 and x.shape[0] in table_rows and x.shape[0] % m == 0:
             return jax.device_put(x, row_sh)
+        # catalog-wide bias vectors (the DNN out_layer b of width n_items,
+        # diffusion/dnn.py) follow the item-sharded activations
+        if x.ndim == 1 and x.shape[0] == n_items and n_items % m == 0:
+            return jax.device_put(x, vec_sh)
         return jax.device_put(x, repl)
 
     return jax.tree_util.tree_map(place, params)
+
+
+def item_sharded(x, mesh: Optional[Mesh]):
+    """Constrain the LAST axis of ``x`` (the item catalog) over ``model``.
+
+    The diffusion models operate on dense per-user interaction vectors of
+    width n_items (reference `src/common/trainer.py:440-459`); at elec scale
+    (63k items) these are the dominant activation. Laying the item axis over
+    the model mesh axis keeps each chip's slice at n_items/S and lets XLA
+    run the denoiser's in-projection as local partial products + psum and
+    the out-projection fully locally (weights sharded by
+    ``shard_model_params``). No-op off-mesh or when the width doesn't split.
+    """
+    if mesh is None:
+        return x
+    S = mesh.shape[MODEL_AXIS]
+    if S <= 1 or x.shape[-1] % S != 0:
+        return x
+    spec = P(*([None] * (x.ndim - 1)), MODEL_AXIS)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def sharded_topk(scores, k: int, mesh: Mesh):

@@ -45,13 +45,17 @@ ALL_MODELS = [
 ]
 
 
-def run_one(model: str, dataset: str, epochs: int, timeout: int):
+def run_one(model: str, dataset: str, epochs: int, timeout: int,
+            stopping_step: int | None = None):
+    cfg = {"hyper_parameters": ["seed"], "save_recommended_topk": False}
+    if stopping_step is not None:
+        cfg["stopping_step"] = stopping_step
     cmd = [
         sys.executable, "main.py", "-m", model, "-d", dataset,
         "--epochs", str(epochs),
         # pin the hyper-grid to one combo (seed only); other list-valued
         # YAML keys scalarize to their first entry
-        "--config-json", json.dumps({"hyper_parameters": ["seed"]}),
+        "--config-json", json.dumps(cfg),
     ]
     t0 = time.time()
     try:
@@ -64,16 +68,23 @@ def run_one(model: str, dataset: str, epochs: int, timeout: int):
         # anchor the parse to the final BEST block's Valid section —
         # positional indexing over all matches silently records a mid-epoch
         # or test value if logging is ever reordered
-        valid_r20 = None
+        valid_r20 = test_r20 = test_n20 = None
         if ok:
             best = out[out.rfind("BEST"):]
             tpos = best.find("Test:")
             m = re.search(r"recall@20: ([0-9.]+)", best[: tpos if tpos > 0 else None])
             valid_r20 = float(m.group(1)) if m else None
+            if tpos > 0:
+                mt = re.search(r"(?<![A-Za-z_%])recall@20: ([0-9.]+)", best[tpos:])
+                test_r20 = float(mt.group(1)) if mt else None
+                mn = re.search(r"(?<![A-Za-z_%])ndcg@20: ([0-9.]+)", best[tpos:])
+                test_n20 = float(mn.group(1)) if mn else None
         tail = "" if ok else out[-2000:]
         return {
             "ok": ok, "seconds": round(dt, 1),
             "valid_recall@20": valid_r20,
+            "test_recall@20": test_r20, "test_ndcg@20": test_n20,
+            "epochs_budget": epochs,
             "returncode": res.returncode, "tail": tail,
         }
     except subprocess.TimeoutExpired:
@@ -85,13 +96,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="baby")
     ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--stopping-step", type=int, default=None,
+                    help="early-stopping patience override (config default 25)")
     ap.add_argument("--timeout", type=int, default=900)
     ap.add_argument("--models", nargs="*", default=None)
+    ap.add_argument("--tag", default=None,
+                    help="output-file tag, e.g. 'converged' -> "
+                         "zoo_sweep_<ds>_converged.json")
     args = ap.parse_args()
 
     models = args.models or ALL_MODELS
+    tag = f"_{args.tag}" if args.tag else ""
     out_path = os.path.join(
-        ROOT, "comparison_logs", f"zoo_sweep_{args.dataset}.json"
+        ROOT, "comparison_logs", f"zoo_sweep_{args.dataset}{tag}.json"
     )
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     results = {}
@@ -104,7 +121,8 @@ def main():
             print(f"[{i+1}/{len(models)}] {model}: cached OK", flush=True)
             continue
         print(f"[{i+1}/{len(models)}] {model} ...", flush=True)
-        results[model] = run_one(model, args.dataset, args.epochs, args.timeout)
+        results[model] = run_one(model, args.dataset, args.epochs, args.timeout,
+                                 args.stopping_step)
         status = "OK" if results[model]["ok"] else "FAIL"
         print(
             f"    {status} in {results[model]['seconds']}s "

@@ -88,6 +88,44 @@ def test_sharded_params_actually_sharded():
     assert n_row_sharded >= 2, specs  # user AND item tables
 
 
+def test_diffusion_item_sharding_placement():
+    """Item-sharded diffusion path (SURVEY hard part #4): the denoiser
+    out-projection (n_items, hidden) and its bias (n_items,) must land on
+    the model axis so the (B, n_items) interaction vectors stay sharded
+    end-to-end through the DNN."""
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.data.arrays import build_train_data
+    from genmmrec_tpu.data.dataset import RecDataset
+    from genmmrec_tpu.models import get_model
+    from genmmrec_tpu.parallel.mesh import build_mesh, item_sharded, shard_model_params
+
+    config = Config(
+        "DiffRec", "tiny", {"mesh_shape": {"data": 2, "model": 4},
+                            "save_recommended_topk": False},
+    )
+    ds = RecDataset(config)
+    train, _, _ = ds.split()
+    td = build_train_data(train)
+    model = get_model("DiffRec")(config, td)
+    assert model.n_items % 4 == 0, "tiny catalog must split over model=4"
+    params = model.init_params(jax.random.PRNGKey(0))
+    mesh = build_mesh(config)
+    sharded = shard_model_params(model, params, mesh)
+    out_w = sharded["dnn"]["out_layers"][-1]["w"]
+    out_b = sharded["dnn"]["out_layers"][-1]["b"]
+    assert out_w.shape[0] == model.n_items
+    assert "model" in str(out_w.sharding.spec), out_w.sharding
+    assert "model" in str(out_b.sharding.spec), out_b.sharding
+
+    # the activation constraint itself: (B, n_items) lays its last axis on
+    # the model axis, and a no-op off-mesh
+    x = model.interaction_vectors(jnp.arange(8, dtype=jnp.int32))
+    xs = jax.jit(lambda a: item_sharded(a, mesh))(x)
+    assert "model" in str(xs.sharding.spec), xs.sharding
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(xs))
+    assert item_sharded(x, None) is x
+
+
 def test_sharded_topk_matches_plain():
     from genmmrec_tpu.parallel.mesh import build_mesh, sharded_topk
 
