@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Elec-scale validation run (VERDICT r1 next-step #6).
+
+Runs the diffusion models at the reference's LARGEST dataset scale —
+elec: 192,403 users x 63,001 items, 1.69M interactions
+(`/root/reference/GenMMRec/evaluation/README.md:10`) — on the real chip:
+a couple of full epochs (diffusion phases + BPR epoch) plus a complete
+valid+test evaluation, recording wall-clock per epoch/eval and peak HBM.
+This exercises the machinery built for SURVEY hard parts #4/#5 at the
+scale it was designed for: dense (B, n_items) diffusion vectors, chunked
+full-catalog eval, bit-packed train masks, blocked KNN graph builds.
+
+Writes comparison_logs/elec_scale.json and prints a markdown table for
+docs/ELEC_SCALE.md.
+
+Usage:
+    python scripts/elec_scale.py [--models DiffRec DiffMM] [--epochs 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def peak_hbm_gb():
+    try:
+        stats = __import__("jax").devices()[0].memory_stats()
+        return round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+    except Exception:
+        return None
+
+
+DATASET = "elec"
+
+
+def run_model(model_name: str, epochs: int):
+    import jax
+
+    from genmmrec_tpu.config import Config
+    from genmmrec_tpu.data.arrays import build_eval_data, build_train_data
+    from genmmrec_tpu.data.dataset import RecDataset
+    from genmmrec_tpu.engine.trainer import get_trainer
+    from genmmrec_tpu.models import get_model
+    from genmmrec_tpu.utils.misc import init_seed
+
+    t0 = time.time()
+    config = Config(model_name, DATASET, {
+        "epochs": epochs,
+        "stopping_step": epochs + 1,
+        "eval_step": epochs,           # one full valid+test eval at the end
+        "save_recommended_topk": False,
+        "hyper_parameters": ["seed"],
+    })
+    init_seed(int(config["seed"][0] if isinstance(config["seed"], list)
+                  else config["seed"]))
+    ds = RecDataset(config)
+    train, valid, test = ds.split()
+    t_data = time.time() - t0
+
+    t0 = time.time()
+    td = build_train_data(train)
+    ebs = int(config["eval_batch_size"])
+    vd = build_eval_data(valid, train, ebs)
+    sd = build_eval_data(test, train, ebs)
+    model = get_model(model_name)(config, td)
+    trainer = get_trainer(model_name)(config, model)
+    t_build = time.time() - t0
+
+    t0 = time.time()
+    score, valid_res, test_res = trainer.fit(td, vd, sd, saved=False)
+    t_fit = time.time() - t0
+
+    return {
+        "model": model_name,
+        "n_users": int(model.n_users), "n_items": int(model.n_items),
+        "n_inter_train": int(td.n_inter),
+        "epochs": epochs,
+        "data_s": round(t_data, 1), "build_s": round(t_build, 1),
+        "fit_s": round(t_fit, 1),
+        "fit_s_per_epoch": round(t_fit / max(1, epochs), 1),
+        "peak_hbm_gb": peak_hbm_gb(),
+        "valid_recall@20": float(valid_res.get("recall@20", float("nan"))),
+        "test_recall@20": float(test_res.get("recall@20", float("nan"))),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", nargs="*", default=["DiffRec", "DiffMM"])
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--dataset", default="elec",
+                    help="override for smoke-testing the harness itself")
+    args = ap.parse_args()
+
+    global DATASET
+    DATASET = args.dataset
+    out_path = os.path.join(
+        ROOT, "comparison_logs", f"{args.dataset}_scale.json"
+    )
+    results = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
+
+    for m in args.models:
+        print(f"=== {m} @ elec scale ===", flush=True)
+        try:
+            results[m] = run_model(m, args.epochs)
+        except Exception as e:  # record OOM/compile failures honestly
+            results[m] = {"model": m, "error": f"{type(e).__name__}: {e}"[:6000]}
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+        print(json.dumps(results[m]), flush=True)
+
+    print("\n| Model | fit s/epoch | peak HBM GB | valid R@20 |")
+    print("|---|---|---|---|")
+    for m, r in results.items():
+        if "error" in r:
+            print(f"| {m} | ERROR | — | — |")
+        else:
+            print(f"| {m} | {r['fit_s_per_epoch']} | {r['peak_hbm_gb']} "
+                  f"| {r['valid_recall@20']:.4f} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--stopping-step", type=int, default=10)
     ap.add_argument("--config-json", default="{}")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="override the config seed; results land in "
+                         "our_runs/<model>-<ds>-seed<seed>/")
     args = ap.parse_args()
 
     cfg = {
@@ -36,6 +39,8 @@ def main():
         "save_recommended_topk": False,
     }
     cfg.update(json.loads(args.config_json))
+    if args.seed is not None:
+        cfg["seed"] = [args.seed]
     cmd = [
         sys.executable, "main.py", "-m", args.model, "-d", args.dataset,
         "--epochs", str(args.epochs), "--config-json", json.dumps(cfg),
@@ -45,7 +50,8 @@ def main():
     dt = time.time() - t0
     out = res.stdout + res.stderr
 
-    run_dir = os.path.join(ROOT, "our_runs", f"{args.model}-{args.dataset}")
+    tag = f"-seed{args.seed}" if args.seed is not None else ""
+    run_dir = os.path.join(ROOT, "our_runs", f"{args.model}-{args.dataset}{tag}")
     os.makedirs(run_dir, exist_ok=True)
     with open(os.path.join(run_dir, "stdout.log"), "w") as f:
         f.write(out)
