@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--seed", type=int, default=None,
                     help="override the config seed; results land in "
                          "our_runs/<model>-<ds>-seed<seed>/")
+    ap.add_argument("--tag", default=None,
+                    help="suffix the run dir: our_runs/<model>-<ds>-<tag>/ "
+                         "(e.g. 'struct' for the structured-feature ablation)")
     args = ap.parse_args()
 
     cfg = {
@@ -51,6 +54,8 @@ def main():
     out = res.stdout + res.stderr
 
     tag = f"-seed{args.seed}" if args.seed is not None else ""
+    if args.tag:
+        tag += f"-{args.tag}"
     run_dir = os.path.join(ROOT, "our_runs", f"{args.model}-{args.dataset}{tag}")
     os.makedirs(run_dir, exist_ok=True)
     with open(os.path.join(run_dir, "stdout.log"), "w") as f:

@@ -122,9 +122,12 @@ def main():
     ap.add_argument("--eval-step", type=int, default=1)
     ap.add_argument("--config-json", default="{}",
                     help="extra config_dict overrides as JSON")
+    ap.add_argument("--tag", default=None,
+                    help="suffix the run dir: ref_runs/<model>-<ds>-<tag>/")
     args = ap.parse_args()
 
-    run_dir = os.path.join(ROOT, "ref_runs", f"{args.model}-{args.dataset}")
+    tag = f"-{args.tag}" if args.tag else ""
+    run_dir = os.path.join(ROOT, "ref_runs", f"{args.model}-{args.dataset}{tag}")
     os.makedirs(run_dir, exist_ok=True)
     # the reference Config resolves YAMLs from ./configs (configurator.py:72)
     cfg_link = os.path.join(run_dir, "configs")
