@@ -9,7 +9,7 @@ while kill -0 "$(cat /tmp/elec.pid 2>/dev/null)" 2>/dev/null; do sleep 60; done
 # structured-feature ablation first (VERDICT weak #3 ordering recovery) —
 # higher-leverage than extra seeds; ablation_queue.sh skips completed runs
 DP="{\"data_path\": \"/root/repo/data_struct/\"}"
-for m in BPR VBPR LightGCN BM3 FREEDOM; do
+for m in BPR VBPR LightGCN BM3 FREEDOM ItemKNNCBF MVGAE SMORE RFMRec; do
   [ -f "our_runs/${m}-baby-struct/result.json" ] && continue
   echo "=== $(date +%H:%M:%S) START $m (struct)"
   timeout 3600 python scripts/run_ours.py -m "$m" -d baby --tag struct \
