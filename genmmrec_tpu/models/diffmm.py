@@ -143,11 +143,12 @@ class DiffMM(RecModel):
         # regenerated graphs ride the Pallas kernel both ways. The span bound
         # is static: self-loops keep every row non-empty, so a CHUNK-edge
         # window never spans more than CHUNK (+16 alignment slack) rows.
-        from genmmrec_tpu.ops.segment_pallas import CHUNK
+        # dense_rows_span returns 0 (XLA fallback) past the VMEM-budget scale.
+        from genmmrec_tpu.ops.segment_pallas import dense_rows_span
 
         return SparseGraph(
             rows=g["rows"], cols=g["cols"], vals=g["vals"], n_rows=N, n_cols=N,
-            sorted=True, pallas_span=CHUNK + 16, symmetric=True,
+            sorted=True, pallas_span=dense_rows_span(N), symmetric=True,
         )
 
     def forward_MM(self, params, state) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -205,11 +205,11 @@ class GenRecV1(RecModel):
         g = state["image_ui"]
         N = self.n_users + self.n_items
         # rebuild_ui_graph row-sorts + pairs dropout (see DiffMM._modal_graph)
-        from genmmrec_tpu.ops.segment_pallas import CHUNK
+        from genmmrec_tpu.ops.segment_pallas import dense_rows_span
 
         return SparseGraph(
             rows=g["rows"], cols=g["cols"], vals=g["vals"], n_rows=N, n_cols=N,
-            sorted=True, pallas_span=CHUNK + 16, symmetric=True,
+            sorted=True, pallas_span=dense_rows_span(N), symmetric=True,
         )
 
     def forward(self, params, state, key=None):

@@ -333,12 +333,12 @@ class MVDiff(RecModel):
     def _ui_state_graph(self, g) -> SparseGraph:
         """Regenerated UI graphs are row-sorted with paired dropout (see
         DiffMM._modal_graph) so they ride the Pallas kernel both ways."""
-        from genmmrec_tpu.ops.segment_pallas import CHUNK
+        from genmmrec_tpu.ops.segment_pallas import dense_rows_span
 
         N = self.n_users + self.n_items
         return SparseGraph(
             rows=g["rows"], cols=g["cols"], vals=g["vals"], n_rows=N, n_cols=N,
-            sorted=True, pallas_span=CHUNK + 16, symmetric=True,
+            sorted=True, pallas_span=dense_rows_span(N), symmetric=True,
         )
 
     def rebuild_ui_graph(self, topk_items, key):

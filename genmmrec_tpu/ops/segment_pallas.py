@@ -73,6 +73,20 @@ def chunk_span(rows: np.ndarray, n_rows: int, chunk: int = CHUNK) -> int:
     return span
 
 
+def dense_rows_span(n_rows: int, chunk: int = CHUNK) -> int:
+    """Static span bound for graphs whose EVERY row is non-empty (self-loops
+    on all nodes): a chunk-edge window of row-sorted edges then covers at
+    most ``chunk`` distinct rows (+16 for aligned-down window starts).
+    Returns 0 — kernel disabled, callers fall back to XLA segment_sum — when
+    the resident (n_rows, d) output would blow the VMEM budget at this scale
+    (observed: DiffMM regenerated graphs at elec scale, 255k rows × 64 →
+    127MB scoped VMEM vs the 56MB cap)."""
+    span = chunk + 16
+    if _vmem_estimate(n_rows, span, D_TILE, chunk) > _VMEM_BUDGET:
+        return 0
+    return span
+
+
 def _segsum_kernel(starts_ref, rows_ref, g_ref, out_ref, *, span, chunk, nnz):
     c = pl.program_id(0)
 

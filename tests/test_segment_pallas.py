@@ -67,6 +67,18 @@ def test_chunk_span_gates():
     assert s2 == 0  # output window alone would blow VMEM
 
 
+def test_dense_rows_span_vmem_gate():
+    """Regenerated-graph span (all rows non-empty) must disable the kernel
+    past the VMEM-budget scale — observed live: DiffMM elec (255,404 rows,
+    d=64) OOMed scoped VMEM when the span was hard-coded."""
+    from genmmrec_tpu.ops.segment_pallas import dense_rows_span
+
+    baby_n = 19445 + 7050
+    assert dense_rows_span(baby_n) == CHUNK + 16
+    elec_n = 192403 + 63001
+    assert dense_rows_span(elec_n) == 0
+
+
 def test_spmm_symmetric_grads():
     """Symmetric-graph SpMM: forward parity + x/vals gradients vs the XLA
     reference, with the transpose product routed through the kernel."""
