@@ -58,6 +58,39 @@ def fmt(x):
     return f"{float(x):.4f}" if x is not None else "—"
 
 
+def valid_trajectory(model, side, dataset="baby"):
+    """Per-epoch valid_score list parsed from the run's own trainer log
+    (`epoch N evaluating [... valid_score: X]`). Sources, newest first:
+    <side>_runs/<m>-<ds>/log/*.log, <side>_runs/<m>-<ds>/stdout.log,
+    <side>_runs/<m>-<ds>.out (live queue redirect)."""
+    import re
+
+    base = os.path.join(ROOT, f"{side}_runs", f"{model}-{dataset}")
+    candidates = []
+    logdir = os.path.join(base, "log")
+    if os.path.isdir(logdir):
+        candidates += sorted(
+            (os.path.join(logdir, f) for f in os.listdir(logdir)),
+            key=os.path.getmtime, reverse=True,
+        )
+    candidates.append(os.path.join(base, "stdout.log"))
+    candidates.append(base + ".out")
+    for path in candidates:
+        if not os.path.exists(path):
+            continue
+        text = open(path, errors="replace").read()
+        pairs = re.findall(
+            r"epoch (\d+) evaluating \[time: [0-9.]+s, valid_score: ([0-9.]+)",
+            text,
+        )
+        if pairs:
+            traj = {}
+            for e, v in pairs:
+                traj[int(e)] = float(v)
+            return [traj.get(i) for i in range(max(traj) + 1)]
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--write", action="store_true")
@@ -157,6 +190,44 @@ def main():
                 and spread >= delta else "—"
             )
             lines.append(f"| {m} | {metric} | {r_s} | {o_s} | {ok} |")
+
+    traj_rows = []
+    for m in MODELS:
+        ot = valid_trajectory(m, "our", args.dataset)
+        rt = valid_trajectory(m, "ref", args.dataset)
+        if ot and rt and len(ot) >= 5 and len(rt) >= 5:
+            traj_rows.append((m, ot, rt))
+    if traj_rows:
+        lines += [
+            "",
+            "## Per-epoch validation trajectories",
+            "",
+            "Same-epoch valid Recall@20 of both implementations on the",
+            "identical data — evidence that the TRAINING DYNAMICS match, not",
+            "just the converged endpoint (different RNG streams by",
+            "construction, so pointwise deltas within a few % are the",
+            "expected band).",
+            "",
+        ]
+        for m, ot, rt in traj_rows:
+            n = min(len(ot), len(rt))
+            step = 1 if n <= 12 else max(1, n // 12)
+            epochs = list(range(0, n, step))
+            if epochs[-1] != n - 1:
+                epochs.append(n - 1)
+            lines.append(f"**{m}** (epochs 0–{n - 1} shown):")
+            lines.append("")
+            lines.append("| epoch | " + " | ".join(str(e) for e in epochs) + " |")
+            lines.append("|---|" + "---|" * len(epochs))
+            lines.append(
+                "| reference | "
+                + " | ".join(fmt(rt[e]) for e in epochs) + " |"
+            )
+            lines.append(
+                "| ours | "
+                + " | ".join(fmt(ot[e]) for e in epochs) + " |"
+            )
+            lines.append("")
 
     lines += [
         "",
