@@ -91,6 +91,27 @@ def valid_trajectory(model, side, dataset="baby"):
     return None
 
 
+def _capped_ours(model, cap, dataset="baby"):
+    """Our test-upon-best-valid restricted to the first `cap` epochs, parsed
+    from our own trainer log (same format as the reference's)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(ROOT, "scripts"))
+    from harvest_ref_log import parse_blocks
+
+    path = os.path.join(ROOT, "our_runs", f"{model}-{dataset}", "stdout.log")
+    if not os.path.exists(path):
+        return None
+    best = None
+    for epoch, valid, test in parse_blocks(open(path, errors="replace").read()):
+        if epoch >= cap:
+            break
+        s = float(valid.get("recall@20", "nan"))
+        if best is None or s > best[0]:
+            best = (s, test)
+    return best[1] if best else None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--write", action="store_true")
@@ -124,6 +145,17 @@ def main():
     for m in MODELS:
         ours = load("our_runs", m, args.dataset)
         ref = load("ref_runs", m, args.dataset)
+        cap_note = ""
+        if ours and ref and ref.get("partial"):
+            # the reference run was killed by its queue timeout after
+            # epochs_budget epochs — re-derive OUR best-valid within the
+            # same epoch budget from our own trainer log so the comparison
+            # is same-budget, and say so in the table
+            cap = int(ref.get("epochs_budget") or 0)
+            capped = _capped_ours(m, cap, args.dataset)
+            if capped is not None:
+                ours = dict(ours, test_upon_valid=capped)
+                cap_note = f" (both capped @{cap} epochs — ref timed out)"
         for metric in METRICS:
             o = ours and ours.get("test_upon_valid", {}).get(metric)
             r = ref and ref.get("test_upon_valid", {}).get(metric)
@@ -152,7 +184,7 @@ def main():
             else:
                 rel_s, verdict = "—", "pending"
             lines.append(
-                f"| {m} | {metric} | {fmt(r)} | {fmt(o)} | {rel_s} | {verdict} |"
+                f"| {m}{cap_note} | {metric} | {fmt(r)} | {fmt(o)} | {rel_s} | {verdict} |"
             )
         if ours and ref:
             wall_rows.append(
@@ -180,8 +212,13 @@ def main():
             "|---|---|---|---|---|",
         ]
         for m, metric, ov, rv in band_rows:
+            ref_res = load("ref_runs", m, args.dataset)
+            note = (
+                " (ref partial — budgets differ)"
+                if ref_res and ref_res.get("partial") else ""
+            )
             o_s = ", ".join(f"{v:.4f}" for v in ov) or "—"
-            r_s = ", ".join(f"{v:.4f}" for v in rv) or "—"
+            r_s = (", ".join(f"{v:.4f}" for v in rv) or "—") + note
             band = ov + rv
             spread = max(band) - min(band) if len(band) >= 2 else None
             delta = abs(ov[0] - rv[0]) if ov and rv else None
