@@ -49,6 +49,42 @@ def l2_loss(*embeddings: jnp.ndarray) -> jnp.ndarray:
     return sum(0.5 * jnp.sum(e**2) for e in embeddings)
 
 
+def exp_denominator_streamed(
+    p1: jnp.ndarray,
+    e2: jnp.ndarray,
+    temperature: float,
+    chunk: int = 8192,
+) -> jnp.ndarray:
+    """Full-table InfoNCE denominator ``Σ_j exp(p1 · e2[j] / T)`` streamed
+    over row-chunks of ``e2``.
+
+    The reference DiffMM contrastLoss (`src/models/diffmm.py:251-258`)
+    materializes the (B, N) logits in one shot — fine at baby scale, but at
+    elec scale (N = 192k users) that is ~1.6 GB per call with six calls per
+    batch. Streaming bounds peak memory at O(B·chunk); ``jax.checkpoint``
+    on the chunk body rematerializes each chunk's logits in the backward
+    pass, so an epoch-scan step stores only the (B,) accumulator between
+    chunks. Differs from the one-shot form only by summation order.
+    """
+    n, d = e2.shape
+    k = -(-n // chunk)
+    pad = k * chunk - n
+    e2p = jnp.pad(e2, ((0, pad), (0, 0))) if pad else e2
+    chunks = e2p.reshape(k, chunk, d)
+    valid = (jnp.arange(k * chunk) < n).reshape(k, chunk)
+
+    @jax.checkpoint
+    def body(carry, xs):
+        c, m = xs
+        part = jnp.exp(p1 @ c.T / temperature) * m[None, :]
+        return carry + part.sum(-1), None
+
+    deno, _ = jax.lax.scan(
+        body, jnp.zeros(p1.shape[0], p1.dtype), (chunks, valid)
+    )
+    return deno
+
+
 def infonce(
     view1: jnp.ndarray,
     view2: jnp.ndarray,

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from genmmrec_tpu.common.init import xavier_uniform
+from genmmrec_tpu.common.losses import exp_denominator_streamed
 from genmmrec_tpu.models.base import RecModel, scalar
 from genmmrec_tpu.models.diffusion import (
     apply_dnn,
@@ -282,7 +283,13 @@ class DiffMM(RecModel):
         e2 = _l2norm(e2 + 1e-8)
         p1, p2 = e1[nodes], e2[nodes]
         nume = jnp.exp((p1 * p2).sum(-1) / self.temp)
-        deno = jnp.exp(p1 @ e2.T / self.temp).sum(-1)
+        # the full-table denominator is (B, N) in one shot — fine at baby
+        # scale, but 6 calls x ~1.6GB per train step at elec scale; stream
+        # it over node chunks past a static working-set budget
+        if p1.shape[0] * e2.shape[0] * 4 > 256 * 1024 * 1024:
+            deno = exp_denominator_streamed(p1, e2, self.temp)
+        else:
+            deno = jnp.exp(p1 @ e2.T / self.temp).sum(-1)
         per = -jnp.log(nume / deno)
         return (per * weights).sum() / jnp.maximum(weights.sum(), 1.0)
 
