@@ -148,15 +148,20 @@ class DiffMMTrainer(Trainer):
                 params, self._diff_opt_state_i, self._diff_opt_state_t, k_diff
             )
         )
-        new_graphs = self._regenerate(params, k_regen)
-        self._state = {**self._state, **new_graphs}
         steps = max(1, self._n_user_batches)
+        # pulling the losses synchronizes phase 1 here; syncing the graphs
+        # separately keeps a phase-2 device fault attributable to phase 2
+        # instead of surfacing at the next blocking point (async dispatch)
         getLogger().info(
             "Diffusion Loss: Image=%.4f, Text=%.4f [%.2fs]",
             float(li) / steps,
             float(lt) / steps,
             time() - t0,
         )
+        t1 = time()
+        new_graphs = jax.block_until_ready(self._regenerate(params, k_regen))
+        self._state = {**self._state, **new_graphs}
+        getLogger().info("Regenerated UI graphs [%.2fs]", time() - t1)
         return params
 
 
@@ -308,13 +313,15 @@ class GenRecV1Trainer(Trainer):
         params, self._diff_opt_state, loss_sum = self._diffusion_epoch(
             params, self._diff_opt_state, k_diff
         )
-        new_graphs = self._regenerate(params, k_regen)
-        self._state = {**self._state, **new_graphs}
         getLogger().info(
             "Diffusion Loss: %.4f [%.2fs]",
             float(loss_sum) / max(1, self._n_user_batches),
             time() - t0,
         )
+        t1 = time()
+        new_graphs = jax.block_until_ready(self._regenerate(params, k_regen))
+        self._state = {**self._state, **new_graphs}
+        getLogger().info("Regenerated UI graph [%.2fs]", time() - t1)
         return params
 
 
@@ -543,12 +550,14 @@ class MVDiffTrainer(Trainer):
         params, self._feat_oi, self._feat_ot, fli, flt = self._feat_epoch(
             params, self._feat_oi, self._feat_ot, k1
         )
-        ii = self._regen_ii(params)
+        # sync at each phase boundary so a device fault is attributable to
+        # its phase instead of surfacing at the next blocking point
+        ii = jax.block_until_ready(self._regen_ii(params))
         self._state = {**self._state, **ii}
         params, self._ui_oi, self._ui_ot, uli, ult = self._ui_epoch(
             params, self._ui_oi, self._ui_ot, k2
         )
-        ui = self._regen_ui(params, self._state, k3)
+        ui = jax.block_until_ready(self._regen_ui(params, self._state, k3))
         self._state = {**self._state, **ui}
         getLogger().info(
             "MVDiff Losses - Feature Diffusion: Image=%.4f, Text=%.4f; "
