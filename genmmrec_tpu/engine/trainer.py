@@ -91,7 +91,9 @@ class Trainer:
         wd = config["weight_decay"]
         if isinstance(wd, list):
             wd = wd[0]
-        self.weight_decay = float(eval(wd)) if isinstance(wd, str) else float(wd or 0.0)
+        # the reference YAML idiom writes decay as strings like "1e-4";
+        # float() parses those directly — no eval needed
+        self.weight_decay = float(wd) if wd else 0.0
         self.lr_schedule_cfg = config["learning_rate_scheduler"] or [1.0, 50]
         self.neg_rounds = int(config["neg_sample_rounds"] or 8)
 

@@ -20,7 +20,11 @@ import os
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-MODELS = ["BPR", "LightGCN", "VBPR", "BM3", "GenRecV1", "DiffMM"]
+MODELS = [
+    "BPR", "LightGCN", "VBPR", "BM3", "GenRecV1", "DiffMM",
+    # round-3 adjudication cohort (VERDICT r2 item 3)
+    "SLMRec", "GRCN", "DualGNN", "MVGAE", "CoDMR", "MVDiff",
+]
 METRICS = ["recall@20", "ndcg@20", "recall@10", "ndcg@10"]
 
 
@@ -48,10 +52,26 @@ def seed_values(run_dir, model, metric, dataset="baby"):
                 continue
             with open(path) as f:
                 r = json.load(f)
+            if r.get("partial"):
+                # harvested from a timed-out log — different epoch budget;
+                # mixing it into the band would compare unlike runs
+                continue
             v = r.get("test_upon_valid", {}).get(metric)
             if v is not None:
                 vals.append(float(v))
     return vals
+
+
+def band_ok(o, r, ov, rv):
+    """Seed-band acceptance: the two implementations' seed ranges overlap,
+    or the pointwise |o-r| is within the larger PER-IMPLEMENTATION spread.
+    (The previous pooled-range check was tautological — the pooled band
+    always contains both o and r, so it always passed.)"""
+    if len(ov) < 2 or len(rv) < 2:
+        return False
+    overlap = max(min(ov), min(rv)) <= min(max(ov), max(rv))
+    spread = max(max(ov) - min(ov), max(rv) - min(rv))
+    return overlap or abs(float(o) - float(r)) <= spread
 
 
 def fmt(x):
@@ -173,10 +193,7 @@ def main():
                     # construction, so pointwise equality is ill-posed)
                     ov = seed_values("our_runs", m, metric, args.dataset)
                     rv = seed_values("ref_runs", m, metric, args.dataset)
-                    band = ov + rv
-                    if len(band) >= 3 and (
-                        max(band) - min(band) >= abs(float(o) - float(r))
-                    ):
+                    if band_ok(o, r, ov, rv):
                         verdict = "✅ (within seed band)"
                     else:
                         verdict = "❌"
@@ -208,7 +225,7 @@ def main():
             "across-seed spread of each implementation is the yardstick for",
             "the pointwise deltas above (seeds 999, 1000, 2022).",
             "",
-            "| Model | Metric | Reference seeds | Ours seeds | Spread ≥ Δ? |",
+            "| Model | Metric | Reference seeds | Ours seeds | Ranges overlap / Δ ≤ impl spread? |",
             "|---|---|---|---|---|",
         ]
         for m, metric, ov, rv in band_rows:
@@ -219,13 +236,10 @@ def main():
             )
             o_s = ", ".join(f"{v:.4f}" for v in ov) or "—"
             r_s = (", ".join(f"{v:.4f}" for v in rv) or "—") + note
-            band = ov + rv
-            spread = max(band) - min(band) if len(band) >= 2 else None
-            delta = abs(ov[0] - rv[0]) if ov and rv else None
-            ok = (
-                "✅" if spread is not None and delta is not None
-                and spread >= delta else "—"
-            )
+            if ov and rv and len(ov) >= 2 and len(rv) >= 2:
+                ok = "✅" if band_ok(ov[0], rv[0], ov, rv) else "❌"
+            else:
+                ok = "—"
             lines.append(f"| {m} | {metric} | {r_s} | {o_s} | {ok} |")
 
     traj_rows = []
