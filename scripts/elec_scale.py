@@ -21,12 +21,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
 import os
 import sys
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+
+# surface the trainers' phase-boundary INFO lines (diffusion loss / regen
+# timings) — without this the per-phase fault attribution is invisible
+logging.basicConfig(
+    level=logging.INFO, format="%(asctime)s %(message)s", stream=sys.stdout
+)
 
 
 def peak_hbm_gb():

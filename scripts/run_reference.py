@@ -87,6 +87,11 @@ def install_shims():
         lmdb.open = _no_lmdb
         sys.modules["lmdb"] = lmdb
 
+    # a few models hard-code .cuda() on tensors/modules (grcn.py:127,318);
+    # on this CPU-only torch those are no-ops
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
     if "torch_scatter" not in sys.modules:
         ts = types.ModuleType("torch_scatter")
 
@@ -141,6 +146,24 @@ def main():
     import torch
 
     torch.set_num_threads(os.cpu_count() or 1)
+
+    if args.model == "DualGNN":
+        # dualgnn.py:129 registers result_embed as a Parameter only on CPU
+        # (`nn.Parameter(...).to(device)` is identity on CPU, a plain-Tensor
+        # copy on CUDA); forward:174 then assigns a plain tensor over it,
+        # which torch forbids for Parameter attrs. De-register post-init to
+        # reproduce the GPU behavior exactly.
+        import models.dualgnn as _dg
+
+        _orig_init = _dg.DualGNN.__init__
+
+        def _patched_init(self, *a, **k):
+            _orig_init(self, *a, **k)
+            p = self._parameters.pop("result_embed", None)
+            if p is not None:
+                self.result_embed = p.data
+
+        _dg.DualGNN.__init__ = _patched_init
 
     from utils.quick_start import quick_start  # reference's own orchestrator
 

@@ -103,6 +103,9 @@ def main():
     ap.add_argument("--tag", default=None,
                     help="output-file tag, e.g. 'converged' -> "
                          "zoo_sweep_<ds>_converged.json")
+    ap.add_argument("--rerun", action="store_true",
+                    help="re-run models even if the journal has an OK entry "
+                         "(e.g. RF hosts after a stopping-step change)")
     args = ap.parse_args()
 
     models = args.models or ALL_MODELS
@@ -117,7 +120,7 @@ def main():
             results = json.load(f)
 
     for i, model in enumerate(models):
-        if model in results and results[model]["ok"]:
+        if model in results and results[model]["ok"] and not args.rerun:
             print(f"[{i+1}/{len(models)}] {model}: cached OK", flush=True)
             continue
         print(f"[{i+1}/{len(models)}] {model} ...", flush=True)
