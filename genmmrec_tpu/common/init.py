@@ -27,14 +27,30 @@ def normal_init(key, shape, std=0.1, dtype=jnp.float32):
     return jax.random.normal(key, shape, dtype) * std
 
 
-def linear_params(key, in_dim, out_dim, init=xavier_normal, bias=True, dtype=jnp.float32):
+def linear_params(
+    key, in_dim, out_dim, init=xavier_normal, bias=True, dtype=jnp.float32,
+    zero_bias=False,
+):
     """(W, b) for a dense layer; W stored (out, in) to match torch layout and
-    the xavier fan computation, applied as x @ W.T + b."""
-    kw, _ = jax.random.split(key)
+    the xavier fan computation, applied as x @ W.T + b.
+
+    Bias follows torch's nn.Linear DEFAULT — uniform(±1/sqrt(fan_in)) — which
+    the reference models inherit whenever they re-init only the weight
+    (`nn.init.xavier_*(layer.weight)` leaves the bias at default). This is
+    load-bearing: at init the head biases create a shared, degree-correlated
+    item prior through the graph towers (a popularity-like signal), and the
+    reference's early-epoch validation transients (SLMRec epoch-1 spike)
+    come from exactly that term. Pass zero_bias=True for reference layers
+    that explicitly zero their bias."""
+    kw, kb = jax.random.split(key)
     W = init(kw, (out_dim, in_dim))
     if not bias:
         return {"w": W}
-    return {"w": W, "b": jnp.zeros((out_dim,), dtype)}
+    if zero_bias or in_dim == 0:
+        return {"w": W, "b": jnp.zeros((out_dim,), dtype)}
+    bound = 1.0 / math.sqrt(in_dim)
+    b = jax.random.uniform(kb, (out_dim,), dtype, minval=-bound, maxval=bound)
+    return {"w": W, "b": b}
 
 
 def apply_linear(p, x):

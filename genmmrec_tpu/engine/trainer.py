@@ -279,6 +279,51 @@ class Trainer:
             return (params, opt_state, state), parts
 
         num_batches = self._num_batches
+        # Epoch slicing: cap the number of batches per device program. A
+        # full-epoch scan is ONE XLA program execution; for models that
+        # propagate the whole graph every batch (DiffMM at elec scale:
+        # ~1.6k batches x ~8 SpMMs over 255k nodes) that single program runs
+        # for upwards of an hour, long enough for the TPU-runtime RPC to
+        # declare the worker dead ("TPU worker process crashed or
+        # restarted"). Slices of S batches keep each program bounded while
+        # the epoch semantics stay identical (same permutation, same keys,
+        # padding slots carry weight 0 either way). 0 = single scan.
+        S = int(self.config["scan_slice_batches"] or 0)
+        if S and num_batches > S:
+            num_slices = -(-num_batches // S)
+            nb2 = num_slices * S
+            n_pad2 = nb2 * B
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def train_slice_impl(params, opt_state, state, xs, buffers):
+                with model.bound(buffers):
+                    (params, opt_state, state), parts = jax.lax.scan(
+                        batch_step, (params, opt_state, state), xs
+                    )
+                return params, opt_state, state, parts.sum(axis=0)
+
+            @jax.jit
+            def _plan(key):
+                k_perm, k_scan = jax.random.split(key)
+                perm = jax.random.permutation(k_perm, n_pad2)
+                idxs = perm.reshape(nb2, B)
+                keys = jax.random.split(k_scan, nb2)
+                return idxs, keys, jnp.arange(nb2)
+
+            def train_epoch(params, opt_state, state, key):
+                idxs, keys, bids = _plan(key)
+                totals = None
+                for s in range(num_slices):
+                    sl = slice(s * S, (s + 1) * S)
+                    params, opt_state, state, t = train_slice_impl(
+                        params, opt_state, state,
+                        (idxs[sl], keys[sl], bids[sl]), model.buffers(),
+                    )
+                    totals = t if totals is None else totals + t
+                return params, opt_state, state, totals
+
+            train_epoch._cache_size = train_slice_impl._cache_size
+            return optimizer, train_epoch
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_epoch_impl(params, opt_state, state, key, buffers):

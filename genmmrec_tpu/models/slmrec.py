@@ -70,9 +70,13 @@ class SLMRec(RecModel):
         self.t_feat = _l2n(self.t_feat)
 
     def init_params(self, key):
+        from genmmrec_tpu.common.init import linear_params
+
         ks = jax.random.split(key, 12)
         d = self.latent_dim
-        lin = lambda k, i, o: {"w": xavier_uniform(k, (o, i)), "b": jnp.zeros((o,))}
+        # reference xavier_uniform's only the weights (slmrec.py:47-60,
+        # 429-433); biases keep torch nn.Linear defaults
+        lin = lambda k, i, o: linear_params(k, i, o, init=xavier_uniform)
         fused_dim = d * 3 if self.mm_fusion_mode == "concat" else d
         return {
             "embedding_user": xavier_uniform(ks[0], (self.n_users, d)),

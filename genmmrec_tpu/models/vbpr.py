@@ -28,7 +28,12 @@ class VBPR(RecModel):
             "u_embedding": xavier_uniform(ku, (self.n_users, self.embedding_size * 2)),
             "i_embedding": xavier_uniform(ki, (self.n_items, self.embedding_size)),
             # reference re-inits Linear with xavier_normal via module.apply
-            "item_linear": linear_params(kl, self.feat_dim, self.embedding_size, init=xavier_normal),
+            # reference VBPR runs self.apply(xavier_normal_initialization),
+            # which zeroes Linear biases (common/init.py:8-24)
+            "item_linear": linear_params(
+                kl, self.feat_dim, self.embedding_size, init=xavier_normal,
+                zero_bias=True,
+            ),
         }
 
     def _item_embeddings(self, params):

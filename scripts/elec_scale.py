@@ -64,6 +64,10 @@ def run_model(model_name: str, epochs: int):
         "eval_step": epochs,           # one full valid+test eval at the end
         "save_recommended_topk": False,
         "hyper_parameters": ["seed"],
+        # cap batches per device program: graph-propagating models (DiffMM)
+        # would otherwise run one multi-hour XLA program per epoch, which
+        # the TPU runtime kills as a dead worker
+        "scan_slice_batches": 32,
     })
     init_seed(int(config["seed"][0] if isinstance(config["seed"], list)
                   else config["seed"]))
