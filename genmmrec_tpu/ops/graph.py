@@ -49,6 +49,11 @@ class SparseGraph:
     # value-symmetric square graph (Aᵀ == A): backward transpose products
     # route through the same sorted kernel instead of an unsorted scatter
     symmetric: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # row-blocked kernel plan for graphs whose full output exceeds the VMEM
+    # budget (elec-scale adjacencies); see segment_pallas.block_plan
+    pallas_plan: Optional[tuple] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def nnz(self) -> int:
@@ -56,28 +61,50 @@ class SparseGraph:
 
     def with_span(self) -> "SparseGraph":
         """Compute the static Pallas span bound from the (host-resident)
-        row array. Call once at graph-build time, never inside jit."""
-        from genmmrec_tpu.ops.segment_pallas import chunk_span
+        row array. Call once at graph-build time, never inside jit. Falls
+        back to a row-blocked plan when the single-window output would blow
+        the VMEM budget (elec scale)."""
+        from genmmrec_tpu.ops.segment_pallas import block_plan, chunk_span
 
         if not self.sorted:
             return self
-        span = chunk_span(np.asarray(self.rows), self.n_rows)
-        return dataclasses.replace(self, pallas_span=span)
+        rows_np = np.asarray(self.rows)
+        span = chunk_span(rows_np, self.n_rows)
+        plan = None
+        if span == 0:
+            plan = block_plan(rows_np, self.n_rows)
+        return dataclasses.replace(self, pallas_span=span, pallas_plan=plan)
 
 
 def spmm(g: SparseGraph, x: jnp.ndarray) -> jnp.ndarray:
     """Sparse @ dense: (n_rows, n_cols) @ (n_cols, d) -> (n_rows, d)."""
-    if g.pallas_span > 0 and g.sorted and jax.default_backend() != "cpu":
-        from genmmrec_tpu.ops.segment_pallas import (
-            sorted_segment_sum,
-            spmm_symmetric,
-        )
+    if g.sorted and jax.default_backend() != "cpu":
+        if g.pallas_span > 0:
+            from genmmrec_tpu.ops.segment_pallas import (
+                sorted_segment_sum,
+                spmm_symmetric,
+            )
 
-        if g.symmetric:
-            return spmm_symmetric(g.rows, g.cols, g.vals, x, g.n_rows, g.pallas_span)
-        return sorted_segment_sum(
-            g.vals[:, None] * x[g.cols], g.rows, g.n_rows, g.pallas_span
-        )
+            if g.symmetric:
+                return spmm_symmetric(
+                    g.rows, g.cols, g.vals, x, g.n_rows, g.pallas_span
+                )
+            return sorted_segment_sum(
+                g.vals[:, None] * x[g.cols], g.rows, g.n_rows, g.pallas_span
+            )
+        if g.pallas_plan is not None:
+            from genmmrec_tpu.ops.segment_pallas import (
+                sorted_segment_sum_blocked,
+                spmm_symmetric_blocked,
+            )
+
+            if g.symmetric:
+                return spmm_symmetric_blocked(
+                    g.rows, g.cols, g.vals, x, g.n_rows, g.pallas_plan
+                )
+            return sorted_segment_sum_blocked(
+                g.vals[:, None] * x[g.cols], g.rows, g.n_rows, g.pallas_plan
+            )
     gathered = g.vals[:, None] * x[g.cols]
     return jax.ops.segment_sum(
         gathered, g.rows, num_segments=g.n_rows, indices_are_sorted=g.sorted

@@ -116,6 +116,100 @@ def test_spmm_symmetric_grads():
     np.testing.assert_allclose(np.asarray(g_pal[1]), np.asarray(g_ref[1]), rtol=2e-3, atol=2e-3)
 
 
+def test_blocked_kernel_matches_segment_sum():
+    """Row-blocked path (elec-scale graphs): forced small VMEM budget so a
+    modest graph needs multiple blocks; forward + gradient parity."""
+    import genmmrec_tpu.ops.segment_pallas as sp
+
+    n_rows = 24000
+    rows = np.sort(np.concatenate([_edges(n_rows, 4, seed=9)] * 2))
+    nnz = len(rows)
+    # shrink the budget so block_plan must split this graph
+    old = sp._VMEM_BUDGET
+    sp._VMEM_BUDGET = 4 * 1024 * 1024
+    try:
+        plan = sp.block_plan(rows, n_rows)
+        assert plan is not None and plan[1] >= 2, f"plan={plan}"
+        g = jax.random.normal(jax.random.PRNGKey(0), (nnz, 64))
+        rows_j = jnp.asarray(rows)
+        ref = jax.ops.segment_sum(
+            g, rows_j, num_segments=n_rows, indices_are_sorted=True
+        )
+        out = sp.sorted_segment_sum_blocked(g, rows_j, n_rows, plan, sp.CHUNK, True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )
+        # gradient is a gather
+        w = jax.random.normal(jax.random.PRNGKey(2), (n_rows, 64))
+        g_pal = jax.grad(
+            lambda x: (sp.sorted_segment_sum_blocked(x, rows_j, n_rows, plan, sp.CHUNK, True) * w).sum()
+        )(g)
+        g_ref = jax.grad(
+            lambda x: (jax.ops.segment_sum(x, rows_j, num_segments=n_rows, indices_are_sorted=True) * w).sum()
+        )(g)
+        np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref), rtol=1e-5, atol=1e-5)
+    finally:
+        sp._VMEM_BUDGET = old
+
+
+def test_blocked_symmetric_spmm_grads():
+    import genmmrec_tpu.ops.segment_pallas as sp
+
+    rng = np.random.default_rng(11)
+    n = 16000
+    a = rng.integers(0, n, 120000)
+    b = rng.integers(0, n, 120000)
+    rows = np.concatenate([a, b, np.arange(n)])
+    cols = np.concatenate([b, a, np.arange(n)])
+    vals = rng.random(len(a)).astype(np.float32)
+    vals = np.concatenate([vals, vals, np.ones(n, np.float32)])
+    order = np.argsort(rows, kind="stable")
+    rows, cols, vals = (
+        rows[order].astype(np.int32), cols[order].astype(np.int32), vals[order]
+    )
+    old = sp._VMEM_BUDGET
+    sp._VMEM_BUDGET = 4 * 1024 * 1024
+    try:
+        plan = sp.block_plan(rows, n)
+        assert plan is not None and plan[1] >= 2
+        rows_j, cols_j, vals_j = jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals)
+        x = jax.random.normal(jax.random.PRNGKey(6), (n, 64))
+        w = jax.random.normal(jax.random.PRNGKey(7), (n, 64))
+        ref_fn = lambda v, xx: jax.ops.segment_sum(
+            v[:, None] * xx[cols_j], rows_j, num_segments=n, indices_are_sorted=True
+        )
+        pal_fn = lambda v, xx: sp.spmm_symmetric_blocked(
+            rows_j, cols_j, v, xx, n, plan, sp.CHUNK, True
+        )
+        np.testing.assert_allclose(
+            np.asarray(pal_fn(vals_j, x)), np.asarray(ref_fn(vals_j, x)),
+            rtol=2e-3, atol=2e-3,
+        )
+        g_ref = jax.grad(lambda v, xx: (ref_fn(v, xx) * w).sum(), argnums=(0, 1))(vals_j, x)
+        g_pal = jax.grad(lambda v, xx: (pal_fn(v, xx) * w).sum(), argnums=(0, 1))(vals_j, x)
+        np.testing.assert_allclose(np.asarray(g_pal[0]), np.asarray(g_ref[0]), rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(g_pal[1]), np.asarray(g_ref[1]), rtol=2e-3, atol=2e-3)
+    finally:
+        sp._VMEM_BUDGET = old
+
+
+def test_block_plan_elec_scale_geometry():
+    """The real elec adjacency shape must yield a feasible multi-block plan
+    (this is the graph the round-2 gates turned the kernel OFF for)."""
+    from genmmrec_tpu.ops.segment_pallas import _VMEM_BUDGET, _vmem_estimate, block_plan
+
+    rng = np.random.default_rng(0)
+    n_users, n_items, n_edges = 192403, 63001, 1_690_000
+    u = rng.integers(0, n_users, n_edges)
+    i = rng.integers(0, n_items, n_edges) + n_users
+    rows = np.sort(np.concatenate([u, i]).astype(np.int32))
+    plan = block_plan(rows, n_users + n_items)
+    assert plan is not None
+    spb, nblocks, nr_max, span, r0s = plan
+    assert nblocks >= 2 and len(r0s) == nblocks
+    assert _vmem_estimate(nr_max, span, 64) <= _VMEM_BUDGET
+
+
 def test_builder_sets_span_and_spmm_dispatches():
     rng = np.random.default_rng(3)
     n_u, n_i = 3000, 1200
