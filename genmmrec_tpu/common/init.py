@@ -27,6 +27,15 @@ def normal_init(key, shape, std=0.1, dtype=jnp.float32):
     return jax.random.normal(key, shape, dtype) * std
 
 
+def kaiming_uniform_default(key, shape, dtype=jnp.float32):
+    """torch nn.Linear's DEFAULT weight init: kaiming_uniform_(a=sqrt(5)),
+    which reduces to U(+-1/sqrt(fan_in)). Reference models that never re-init
+    a layer (e.g. the whole MultiScaleVelocityNet in rfmrec.py) get this."""
+    fan_in = shape[-1]
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
 def linear_params(
     key, in_dim, out_dim, init=xavier_normal, bias=True, dtype=jnp.float32,
     zero_bias=False,

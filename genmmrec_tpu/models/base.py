@@ -35,12 +35,18 @@ State = Any
 Batch = Dict[str, jnp.ndarray]
 
 
-def scalar(value, cast=float):
+def scalar(value, cast=float, default=None):
     """Resolve a config value that may still be a hyper-grid list (tests /
     direct use bypass the grid loop, which scalarizes). Lists take their
-    first entry, mirroring the reference's default-on-first-combo behavior."""
+    first entry, mirroring the reference's default-on-first-combo behavior.
+
+    ``default`` applies ONLY when the config value is absent (None) — unlike
+    the ``config[k] or default`` idiom, an explicit 0/0.0 is kept, so
+    ablations like ``lambda_rf: 0.0`` actually turn the term off."""
     if isinstance(value, list):
         value = value[0]
+    if value is None and default is not None:
+        value = default
     return cast(value)
 
 

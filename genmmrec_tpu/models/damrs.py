@@ -43,7 +43,7 @@ class DAMRS(RecModel):
         self.knn_k = scalar(config["knn_k"], int)
         self.n_layers = scalar(config["n_mm_layers"], int)
         self.n_ui_layers = scalar(config["n_ui_layers"], int)
-        self.reg_weight = scalar(config["reg_weight"] or 1e-4)
+        self.reg_weight = scalar(config["reg_weight"], default=1e-4)
         self.kl_weight = scalar(config["kl_weight"])
         self.neighbor_weight = scalar(config["neighbor_weight"])
 

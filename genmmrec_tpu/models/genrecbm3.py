@@ -17,6 +17,7 @@ import optax
 
 from genmmrec_tpu.common.init import apply_linear, linear_params, xavier_normal
 from genmmrec_tpu.models import rf_modules as rf
+from genmmrec_tpu.models.base import scalar
 from genmmrec_tpu.models.bm3 import BM3
 from genmmrec_tpu.models.rf_host import RFHostMixin
 
@@ -26,7 +27,7 @@ class GenRecBM3(RFHostMixin, BM3):
         super().__init__(config, data)
         self._rf_setup(config, self.embedding_dim)
         self._rf_condition_dim = 2 * self.feat_embed_dim
-        self.ps_loss_weight = float(config["ps_loss_weight"] or 0.1)
+        self.ps_loss_weight = scalar(config["ps_loss_weight"], default=0.1)
 
     def init_params(self, key):
         params = super().init_params(key)

@@ -66,7 +66,7 @@ class LD4MRec(RecModel):
         self.cnet_hidden = scalar(config["cnet_hidden_size"], int)
         self.cnet_layers = scalar(config["cnet_n_layers"], int)
         self.dropout = scalar(config["dropout"])
-        self.min_noise_level = scalar(config["min_noise_level"] or 0.001)
+        self.min_noise_level = scalar(config["min_noise_level"], default=0.001)
 
         from genmmrec_tpu.ops.graph import unique_ui_pairs
 

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from genmmrec_tpu.common.init import xavier_uniform
+from genmmrec_tpu.common.init import kaiming_uniform_default, xavier_uniform
 from genmmrec_tpu.models.base import RecModel, scalar
 from genmmrec_tpu.ops.graph import bipartite_norm_adj, spmm
 
@@ -31,7 +31,29 @@ _EPS = 1e-5
 
 
 def _lin(key, d_in, d_out):
-    return {"w": xavier_uniform(key, (d_out, d_in)), "b": jnp.zeros((d_out,))}
+    """torch nn.Linear DEFAULT init (the reference never re-inits the
+    velocity net or the modal projections — only the embedding tables get
+    xavier): weight kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)),
+    bias U(+-1/sqrt(fan_in))."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(d_in)
+    return {
+        "w": kaiming_uniform_default(kw, (d_out, d_in)),
+        "b": jax.random.uniform(kb, (d_out,), minval=-bound, maxval=bound),
+    }
+
+
+def _fold(key, i):
+    return None if key is None else jax.random.fold_in(key, i)
+
+
+def _dropout(key, x, rate):
+    """Inverted dropout; key=None means eval mode (identity)."""
+    if key is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
 
 
 def _ap(p, x):
@@ -55,28 +77,38 @@ def _sin_emb(t, dim):
     return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
 
 
-def _mha(p, q, kv, num_heads):
-    """Multi-head attention, (B, Lq, d) x (B, Lk, d)."""
+def _mha(p, q, kv, num_heads, key=None, dropout=0.0):
+    """Multi-head attention, (B, Lq, d) x (B, Lk, d). Dropout is applied to
+    the attention probabilities (torch nn.MultiheadAttention semantics)."""
     B, Lq, d = q.shape
     Lk = kv.shape[1]
     dh = d // num_heads
     proj = lambda w, x: x @ w.T
-    Q = proj(p["wq"], q).reshape(B, Lq, num_heads, dh)
-    K = proj(p["wk"], kv).reshape(B, Lk, num_heads, dh)
-    V = proj(p["wv"], kv).reshape(B, Lk, num_heads, dh)
+    Q = (proj(p["wq"], q) + p["bq"]).reshape(B, Lq, num_heads, dh)
+    K = (proj(p["wk"], kv) + p["bk"]).reshape(B, Lk, num_heads, dh)
+    V = (proj(p["wv"], kv) + p["bv"]).reshape(B, Lk, num_heads, dh)
     att = jnp.einsum("bqhd,bkhd->bhqk", Q, K) / math.sqrt(dh)
     att = jax.nn.softmax(att, axis=-1)
+    att = _dropout(key, att, dropout)
     out = jnp.einsum("bhqk,bkhd->bqhd", att, V).reshape(B, Lq, d)
     return proj(p["wo"], out) + p["bo"]
 
 
 def _mha_p(key, d):
+    """torch nn.MultiheadAttention init: in_proj_weight is ONE (3d, d)
+    xavier_uniform (bound sqrt(6/(3d+d))), in_proj_bias and out_proj.bias
+    zero, out_proj.weight keeps the Linear default."""
     ks = jax.random.split(key, 4)
+    bound = math.sqrt(6.0 / (4 * d))
+    u = lambda k: jax.random.uniform(k, (d, d), minval=-bound, maxval=bound)
     return {
-        "wq": xavier_uniform(ks[0], (d, d)),
-        "wk": xavier_uniform(ks[1], (d, d)),
-        "wv": xavier_uniform(ks[2], (d, d)),
-        "wo": xavier_uniform(ks[3], (d, d)),
+        "wq": u(ks[0]),
+        "wk": u(ks[1]),
+        "wv": u(ks[2]),
+        "bq": jnp.zeros((d,)),
+        "bk": jnp.zeros((d,)),
+        "bv": jnp.zeros((d,)),
+        "wo": kaiming_uniform_default(ks[3], (d, d)),
         "bo": jnp.zeros((d,)),
     }
 
@@ -85,14 +117,14 @@ class RFMRec(RecModel):
     def __init__(self, config, data):
         super().__init__(config, data)
         self.embedding_dim = scalar(config["embedding_size"], int)
-        self.hidden_dim = scalar(config["rf_hidden_dim"] or 256, int)
-        self.n_layers = scalar(config["rf_n_layers"] or 2, int)
-        self.dropout = scalar(config["rf_dropout"] or 0.1)
+        self.hidden_dim = scalar(config["rf_hidden_dim"], int, default=256)
+        self.n_layers = scalar(config["rf_n_layers"], int, default=2)
+        self.dropout = scalar(config["rf_dropout"], default=0.1)
         self.reg_weight = scalar(config["reg_weight"])
-        self.n_sampling_steps = scalar(config["rf_sampling_steps"] or 10, int)
+        self.n_sampling_steps = scalar(config["rf_sampling_steps"], int, default=10)
         self.use_reflow = bool(config["rf_use_reflow"])
-        self.lambda_rf = scalar(config["lambda_rf"] or 1.0)
-        self.lambda_rec = scalar(config["lambda_rec"] or 1.0)
+        self.lambda_rf = scalar(config["lambda_rf"], default=1.0)
+        self.lambda_rec = scalar(config["lambda_rec"], default=1.0)
         self.num_heads = 8
 
         users = np.asarray(data.users)
@@ -175,11 +207,12 @@ class RFMRec(RecModel):
                 p["mid"].append({"lin": _lin(ks[base + 3], h, h), "ln": _ln_p(h)})
         return p
 
-    def _apply_cond_encoder(self, p, x):
+    def _apply_cond_encoder(self, p, x, key=None):
         skip = _ap(p["skip"], x) if "skip" in p else x
         hcur = x
-        for layer in p["layers"]:
+        for j, layer in enumerate(p["layers"]):
             hcur = jax.nn.silu(_ln(_ap(layer["lin"], hcur), layer["ln"]))
+            hcur = _dropout(_fold(key, j), hcur, self.dropout)
         return hcur + skip
 
     def _group_norm(self, x, p, groups=8):
@@ -190,37 +223,48 @@ class RFMRec(RecModel):
         g = (g - mu) / jnp.sqrt(var + _EPS)
         return g.reshape(B, d) * p["g"] + p["b"]
 
-    def velocity(self, vp, x, t, conditions):
-        h = self.hidden_dim
+    def velocity(self, vp, x, t, conditions, key=None):
+        """key=None -> eval mode (no dropout), matching torch module.eval()."""
+        dr = self.dropout
         t_emb = jax.nn.silu(_ap(vp["time1"], _sin_emb(t, 256)))
+        t_emb = _dropout(_fold(key, 0), t_emb, dr)
         t_emb = jax.nn.silu(_ap(vp["time2"], t_emb))
         t_emb = _ap(vp["time3"], t_emb)
 
         cond_feats = [
-            self._apply_cond_encoder(vp["enc_interaction"], conditions["interaction"]),
-            self._apply_cond_encoder(vp["enc_visual"], conditions["visual"]),
-            self._apply_cond_encoder(vp["enc_text"], conditions["text"]),
+            self._apply_cond_encoder(
+                vp["enc_interaction"], conditions["interaction"], _fold(key, 1)
+            ),
+            self._apply_cond_encoder(vp["enc_visual"], conditions["visual"], _fold(key, 2)),
+            self._apply_cond_encoder(vp["enc_text"], conditions["text"], _fold(key, 3)),
         ]
         cond_stack = jnp.stack(cond_feats, axis=1)  # (B, 3, h)
         cond_agg = cond_stack.mean(axis=1) + t_emb
 
         hcur = jax.nn.silu(_ln(_ap(vp["in_lin"], x), vp["in_ln"]))
+        hcur = _dropout(_fold(key, 4), hcur, dr)
         skips = []
         for i in range(self.n_layers):
+            lk = _fold(key, 16 + i)
             if i < len(vp["mid"]):
                 skips.append(jax.nn.silu(_ln(_ap(vp["mid"][i]["lin"], hcur), vp["mid"][i]["ln"])))
             cp = vp["cross"][i]
             q = hcur[:, None, :]
-            att = _mha(cp["attn"], q, cond_stack, self.num_heads)
+            att = _mha(cp["attn"], q, cond_stack, self.num_heads, _fold(lk, 0), dr)
             q2 = _ln(q + att, cp["ln1"])
-            ffn = _ap(cp["ffn2"], jax.nn.gelu(_ap(cp["ffn1"], q2)))
+            ffn = _dropout(_fold(lk, 1), jax.nn.gelu(_ap(cp["ffn1"], q2)), dr)
+            ffn = _dropout(_fold(lk, 2), _ap(cp["ffn2"], ffn), dr)
             h_cross = _ln(q2 + ffn, cp["ln2"])[:, 0, :]
             hcur = hcur + h_cross
             sp = vp["selfa"][i]
-            sa = _mha(sp["attn"], hcur[:, None, :], hcur[:, None, :], self.num_heads)
+            sa = _mha(
+                sp["attn"], hcur[:, None, :], hcur[:, None, :], self.num_heads,
+                _fold(lk, 3), dr,
+            )
             hcur = hcur + _ln(hcur[:, None, :] + sa, sp["ln"])[:, 0, :]
             rp = vp["res"][i]
-            hr = _ap(rp["net2"], jax.nn.gelu(_ap(rp["net1"], hcur)))
+            hr = _dropout(_fold(lk, 4), jax.nn.gelu(_ap(rp["net1"], hcur)), dr)
+            hr = _ap(rp["net2"], hr)
             hr = self._group_norm(hr, rp["gn"])
             scale = _ap(rp["scale2"], jax.nn.silu(_ap(rp["scale1"], cond_agg)))
             shift = _ap(rp["shift2"], jax.nn.silu(_ap(rp["shift1"], cond_agg)))
@@ -229,6 +273,7 @@ class RFMRec(RecModel):
         if skips:
             hcur = hcur + jnp.stack(skips, 0).mean(0)
         out = jax.nn.silu(_ln(_ap(vp["out_lin1"], hcur), vp["out_ln"]))
+        out = _dropout(_fold(key, 5), out, dr)
         return _ap(vp["out_lin2"], out)
 
     # ------------------------------------------------------------------
@@ -249,7 +294,7 @@ class RFMRec(RecModel):
 
     def loss(self, params, state, batch, key):
         users, pos, neg, w = batch["users"], batch["pos"], batch["neg"], batch["weight"]
-        k_noise, k_t = jax.random.split(key)
+        k_noise, k_t, k_drop = jax.random.split(key, 3)
         conds = self._conditions(params, users, pos)
         X1 = jnp.concatenate(
             [params["user_embedding"][users], params["item_embedding"][pos]], axis=-1
@@ -257,7 +302,7 @@ class RFMRec(RecModel):
         X0 = jax.random.normal(k_noise, X1.shape)
         t = jax.random.uniform(k_t, (X1.shape[0], 1))
         X_t = t * X1 + (1 - t) * X0
-        v_pred = self.velocity(params["velocity"], X_t, t, conds)
+        v_pred = self.velocity(params["velocity"], X_t, t, conds, k_drop)
         rf = (((v_pred - (X1 - X0)) ** 2).mean(1) * w).sum() / jnp.maximum(w.sum(), 1.0)
 
         u = params["user_embedding"][users]
