@@ -180,9 +180,14 @@ def main():
     }
     config_dict.update(json.loads(args.config_json))
 
+    # the reference names some classes differently from its CLI convention
+    # (src/models/rfmrec.py:25 `class RFMREC`); map ours → theirs while
+    # keeping the run-dir name stable for parity_report pairing.
+    ref_model = {"RFMRec": "RFMREC"}.get(args.model, args.model)
+
     t0 = time.time()
     quick_start(
-        model=args.model, dataset=args.dataset,
+        model=ref_model, dataset=args.dataset,
         config_dict=config_dict, save_model=False,
     )
     dt = time.time() - t0
