@@ -817,6 +817,24 @@ def test_slmrec_scores_match_reference(tiny_td, tmp_path):
         ours_scores, ref_scores.numpy(), rtol=5e-4, atol=5e-4
     )
 
+    # training loss (main InfoNCE + FAC SSL), ref slmrec.py:332-337
+    with torch.no_grad():
+        for name in ("g_i_iv", "g_v_iv", "g_iv_iva", "g_iva_ivat", "g_t_ivat"):
+            _copy_linear(getattr(ref, name), params[name])
+    bu = np.asarray(td.users[:32])
+    bp = np.asarray(td.items[:32])
+    batch = {
+        "users": bu, "pos": bp, "neg": np.zeros(32, np.int32),
+        "weight": np.ones(32, np.float32),
+    }
+    ours_loss = float(ours.loss(params, {}, batch, jax.random.PRNGKey(1))[0])
+    with torch.no_grad():
+        ref_loss = float(RefSLMRec.calculate_loss(
+            ref, [torch.from_numpy(bu.astype(np.int64)),
+                  torch.from_numpy(bp.astype(np.int64))]
+        ))
+    assert abs(ours_loss - ref_loss) < 5e-4, (ours_loss, ref_loss)
+
 
 def test_damrs_scores_match_reference(tiny_td, tmp_path, monkeypatch):
     import torch
