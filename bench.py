@@ -307,6 +307,118 @@ _V5E_BF16_FLOPS = 197e12
 _V5E_HBM_BYTES = 819e9
 
 
+def fullsort_roofline(n_items=63001, d=64, B=4096, n_chunks=4, max_k=50):
+    """Full-sort eval scoring at elec catalog width (63,001 items), the scale
+    where the op is genuinely bandwidth-bound (VERDICT r2 item 6; baby-scale
+    numbers are latency-bound and meaningless as rooflines).
+
+    Measures the exact per-chunk eval op mix — (B, d) @ (d, I) GEMM, train-
+    positive mask, lax.top_k — in f32 and in the bf16 scoring path
+    (models/base.py scores_cached). At d=64 the arithmetic intensity of the
+    score matrix is 2d FLOPs per element against one HBM write (GEMM out)
+    plus one read (top-k in): the op cannot approach the MXU peak; the honest
+    ceiling is HBM. bytes counted: score write + top-k read + operand reads.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    u_emb = jnp.asarray(rng.standard_normal((B * n_chunks, d), np.float32))
+    i_emb = jnp.asarray(rng.standard_normal((n_items, d), np.float32))
+    mask = jnp.asarray(
+        rng.integers(0, n_items, (B * n_chunks, 30)).astype(np.int32)
+    )
+
+    def run(dtype):
+        ue = u_emb.astype(dtype)
+        ie = i_emb.astype(dtype)
+
+        @jax.jit
+        def eval_chunks(ue, ie, mask):
+            def one(args):
+                u, m = args
+                scores = u @ ie.T
+                rows = jnp.arange(u.shape[0])[:, None]
+                scores = scores.at[rows, m].set(-1e10, mode="drop")
+                _, topk = jax.lax.top_k(scores, max_k)
+                return topk
+
+            uc = ue.reshape(n_chunks, B, d)
+            mc = mask.reshape(n_chunks, B, -1)
+            return jax.lax.map(one, (uc, mc)).reshape(-1, max_k)
+
+        eval_chunks(ue, ie, mask).block_until_ready()  # compile
+        n = 5
+        t0 = time.time()
+        for _ in range(n):
+            out = eval_chunks(ue, ie, mask)
+        out.block_until_ready()
+        dt = (time.time() - t0) / n
+        esize = jnp.dtype(dtype).itemsize
+        total_users = B * n_chunks
+        # score write (GEMM) + score read (mask+top-k) + operand reads
+        bytes_moved = (
+            2 * total_users * n_items * esize
+            + n_chunks * n_items * d * esize
+            + total_users * d * esize
+        )
+        flops = 2.0 * total_users * d * n_items
+        return {
+            "s": dt,
+            "users_per_s": total_users / dt,
+            "bytes_per_s": bytes_moved / dt,
+            "frac_hbm_peak": bytes_moved / dt / _V5E_HBM_BYTES,
+            "frac_bf16_peak": flops / dt / _V5E_BF16_FLOPS,
+        }
+
+    f32 = run(np.float32)
+    bf16 = run(jnp.bfloat16)
+    return {
+        "fullsort_elec_f32_s": f32["s"],
+        "fullsort_elec_f32_frac_hbm_peak": f32["frac_hbm_peak"],
+        "fullsort_elec_bf16_s": bf16["s"],
+        "fullsort_elec_bf16_frac_hbm_peak": bf16["frac_hbm_peak"],
+        "fullsort_elec_bf16_users_per_s": bf16["users_per_s"],
+        "fullsort_elec_bf16_frac_bf16_peak": bf16["frac_bf16_peak"],
+        "fullsort_bf16_speedup": f32["s"] / bf16["s"],
+    }
+
+
+def spmm_roofline_elec(n_users=192403, n_items=63001, n_inter=1689188, d=64):
+    """Hot-SpMM bandwidth at elec scale (the shape VERDICT r2 item 6 asks
+    for) on a synthetic uniform graph with the real nnz — bandwidth depends
+    on nnz/N/d, not on which edges exist. Uses the production spmm path
+    (Pallas row-blocked kernel when the planner selects it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from genmmrec_tpu.ops.graph import bipartite_norm_adj, spmm
+
+    rng = np.random.default_rng(0)
+    users = rng.integers(0, n_users, n_inter).astype(np.int64)
+    items = rng.integers(0, n_items, n_inter).astype(np.int64)
+    adj = bipartite_norm_adj(users, items, n_users, n_items).with_span()
+    x = jnp.asarray(
+        rng.standard_normal((n_users + n_items, d), np.float32)
+    )
+    f = jax.jit(lambda x: spmm(adj, x))
+    f(x).block_until_ready()
+    n = 10
+    t0 = time.time()
+    y = x
+    for _ in range(n):
+        y = f(y)
+    y.block_until_ready()
+    dt = (time.time() - t0) / n
+    nnz = adj.nnz
+    bytes_moved = nnz * d * 4 + 2 * x.shape[0] * d * 4 + nnz * 8
+    return {
+        "spmm_elec_s": dt,
+        "spmm_elec_bytes_per_s": bytes_moved / dt,
+        "spmm_elec_frac_hbm_peak": bytes_moved / dt / _V5E_HBM_BYTES,
+    }
+
+
 def spmm_roofline(dataset: str):
     """Effective bytes/s of the hot SpMM (normalized adjacency x embeddings)
     vs HBM peak. Bytes counted as the kernel's unavoidable traffic:
@@ -416,6 +528,18 @@ def main():
     except Exception as e:
         print(f"# spmm roofline failed: {e}")
         roof = {}
+    if not args.quick:
+        # elec-scale rooflines: the scales where eval scoring and SpMM are
+        # genuinely bandwidth-bound (VERDICT r2 item 6). Synthetic shapes —
+        # bandwidth depends on dims/nnz, not edge identity.
+        try:
+            roof.update(fullsort_roofline())
+        except Exception as e:
+            print(f"# fullsort roofline failed: {e}")
+        try:
+            roof.update(spmm_roofline_elec())
+        except Exception as e:
+            print(f"# elec spmm roofline failed: {e}")
     print(
         f"# ours: epoch={stats['epoch_s']:.2f}s eval={stats['eval_s']:.2f}s "
         f"({stats['eval_users_per_s']:.0f} users/s), reference: {ref:.2f}s "

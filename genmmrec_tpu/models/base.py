@@ -62,6 +62,12 @@ class RecModel:
         self.n_users = data.n_users
         self.n_items = data.n_items
         self.batch_size = int(config["train_batch_size"])
+        # full-sort eval scoring dtype. 'bfloat16' halves the dominant HBM
+        # traffic of evaluation (the (B, n_items) score matrix write + top-k
+        # read) on TPU; scores only feed top-k index selection, so the
+        # reduced mantissa moves metrics only through near-tie reordering.
+        # Default float32 = bit-identical parity with the reference.
+        self.eval_dtype = jnp.dtype(str(config["eval_dtype"] or "float32"))
         self.v_feat: Optional[jnp.ndarray] = None
         self.t_feat: Optional[jnp.ndarray] = None
         self._v_feat_host = None
@@ -108,6 +114,12 @@ class RecModel:
         if artifacts is None:  # static (trace-time) fallback
             return self.scores(params, state, users)
         u, i = artifacts
+        if self.eval_dtype == jnp.bfloat16:
+            # bf16 scoring path: bf16 operands AND bf16 scores (the MXU
+            # accumulates in f32 internally; materializing bf16 halves the
+            # score-matrix HBM write and the top-k read that dominate
+            # full-sort eval at embedding_size«n_items)
+            return u[users].astype(jnp.bfloat16) @ i.T.astype(jnp.bfloat16)
         return u[users] @ i.T
 
     def loss_and_update(

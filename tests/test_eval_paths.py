@@ -41,3 +41,29 @@ def test_dense_mask_matches_scatter_mask():
         params, trainer._state, users_sh, dense_sh, n_chunks, dense_mask=True
     )
     np.testing.assert_array_equal(np.asarray(topk_dense), np.asarray(topk_sharded))
+
+
+def test_bf16_eval_dtype_matches_f32_metrics():
+    """The bf16 scoring path (models/base.py scores_cached) must reproduce
+    the f32 evaluation metrics on a well-separated tiny problem — bf16 only
+    reorders near-ties, so with distinct random embeddings the top-k sets
+    should agree to within a tight metric tolerance."""
+
+    results = {}
+    for dtype in ("float32", "bfloat16"):
+        config = Config(
+            "BPR", "tiny", {"save_recommended_topk": False, "eval_dtype": dtype}
+        )
+        ds = RecDataset(config)
+        train_ds, valid_ds, _ = ds.split()
+        td = build_train_data(train_ds)
+        vd = build_eval_data(valid_ds, train_ds, int(config["eval_batch_size"]))
+        model = get_model("BPR")(config, td)
+        trainer = Trainer(config, model)
+        params = model.init_params(jax.random.PRNGKey(0))
+        trainer._state = model.init_state(jax.random.PRNGKey(1))
+        results[dtype] = trainer.evaluate(params, vd)
+
+    f32, bf16 = results["float32"], results["bfloat16"]
+    for k in ("recall@20", "ndcg@20"):
+        assert abs(f32[k] - bf16[k]) < 5e-3, (k, f32[k], bf16[k])
