@@ -37,11 +37,17 @@ logging.basicConfig(
 
 
 def peak_hbm_gb():
-    try:
-        stats = __import__("jax").devices()[0].memory_stats()
-        return round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
-    except Exception:
-        return None
+    import jax
+
+    for dev in jax.devices():
+        try:
+            stats = dev.memory_stats() or {}
+        except Exception:
+            continue
+        v = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+        if v:
+            return round(v / 2**30, 2)
+    return None
 
 
 DATASET = "elec"
