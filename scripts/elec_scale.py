@@ -94,7 +94,53 @@ def run_model(model_name: str, epochs: int):
     score, valid_res, test_res = trainer.fit(td, vd, sd, saved=False)
     t_fit = time.time() - t0
 
+    # micro-profile: attribute per-batch cost at this scale (one SpMM pass
+    # over the static adjacency vs one full loss+grad batch) so the epoch
+    # time decomposes against the kernel roofline (docs/ROOFLINE.md)
+    prof = {}
+    try:
+        import jax.numpy as jnp
+
+        from genmmrec_tpu.ops.graph import spmm
+
+        if getattr(model, "norm_adj", None) is not None:
+            x = jnp.zeros((model.norm_adj.n_rows, 64), jnp.float32)
+            f = jax.jit(lambda x: spmm(model.norm_adj, x))
+            f(x).block_until_ready()
+            t0 = time.time()
+            for _ in range(10):
+                x = f(x)
+            x.block_until_ready()
+            prof["spmm_pass_ms"] = round((time.time() - t0) / 10 * 1e3, 2)
+    except Exception as e:
+        prof["spmm_pass_err"] = str(e)[:200]
+    try:
+        params = model.init_params(jax.random.PRNGKey(0))
+        state = model.init_state(jax.random.PRNGKey(1))
+        B = int(config["train_batch_size"])
+        batch = {
+            "users": jnp.zeros(B, jnp.int32),
+            "pos": jnp.zeros(B, jnp.int32),
+            "neg": jnp.ones(B, jnp.int32),
+            "weight": jnp.ones(B, jnp.float32),
+        }
+        lg = jax.jit(
+            lambda p, s, b, k: jax.value_and_grad(
+                lambda p: model.loss(p, s, b, k)[0]
+            )(p)
+        )
+        k = jax.random.PRNGKey(2)
+        jax.block_until_ready(lg(params, state, batch, k))
+        t0 = time.time()
+        for _ in range(3):
+            out = lg(params, state, batch, k)
+        jax.block_until_ready(out)
+        prof["loss_grad_batch_ms"] = round((time.time() - t0) / 3 * 1e3, 2)
+    except Exception as e:
+        prof["loss_grad_err"] = str(e)[:200]
+
     return {
+        **prof,
         "model": model_name,
         "n_users": int(model.n_users), "n_items": int(model.n_items),
         "n_inter_train": int(td.n_inter),
