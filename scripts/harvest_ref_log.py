@@ -61,10 +61,15 @@ def main():
         return
 
     logdir = os.path.join(run_dir, "log")
-    logs = sorted(
-        (os.path.join(logdir, f) for f in os.listdir(logdir)),
-        key=os.path.getmtime,
-    )
+    if os.path.isdir(logdir):
+        logs = sorted(
+            (os.path.join(logdir, f) for f in os.listdir(logdir)),
+            key=os.path.getmtime,
+        )
+    else:
+        # run dir lost (e.g. VM restart before fsync) but the queue's stdout
+        # capture <run_dir>.out carries the same INFO lines — harvest that
+        logs = [run_dir + ".out"]
     text = open(logs[-1]).read()
 
     best = None
