@@ -1,5 +1,7 @@
 #!/bin/bash
 # Supersedes ref_r3_queue6.sh after the VM restart killed the chain.
+# take 2: exports regenerated; GenRecV1 re-runs under -ep60 (the old
+# 18-epoch partial result.json blocks the bare name).
 # GRCN was harvested from its .out (result.json present). Remaining:
 # DualGNN (now that run_reference.py carries the result_embed de-register
 # patch, scripts/run_reference.py:150-166) -> RFMRec-struct -> GenRecV1
@@ -40,6 +42,6 @@ EOF
 STRUCT='"data_path": "/root/repo/data_struct/"'
 run DualGNN  ""        50 7200 '{"aggr_mode": "add"}'
 run RFMRec   "-struct" 50 5400 "{$STRUCT}"
-run GenRecV1 ""        60 14400
+run GenRecV1 "-ep60"   60 14400
 run MVDiff   ""        30 14400 "$MVDIFF_CFG"
 echo "REF R3 QUEUE7 DONE $(date)"
