@@ -60,6 +60,11 @@ def _ap(p, x):
     return x @ p["w"].T + p["b"]
 
 
+def _gelu(x):
+    """torch nn.GELU() default = exact erf form (jax defaults to tanh approx)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
 def _ln(x, p):
     mu = x.mean(-1, keepdims=True)
     var = ((x - mu) ** 2).mean(-1, keepdims=True)
@@ -129,7 +134,11 @@ class RFMRec(RecModel):
 
         users = np.asarray(data.users)
         items = np.asarray(data.items)
-        self.norm_adj = bipartite_norm_adj(users, items, self.n_users, self.n_items)
+        # weighted: the reference's lil-block assembly keeps duplicate
+        # (u, i) multiplicity in edge values and degrees (rfmrec.py:89-107)
+        self.norm_adj = bipartite_norm_adj(
+            users, items, self.n_users, self.n_items, weighted=True
+        )
 
     # ------------------------------------------------------------------
     def init_params(self, key):
@@ -252,7 +261,7 @@ class RFMRec(RecModel):
             q = hcur[:, None, :]
             att = _mha(cp["attn"], q, cond_stack, self.num_heads, _fold(lk, 0), dr)
             q2 = _ln(q + att, cp["ln1"])
-            ffn = _dropout(_fold(lk, 1), jax.nn.gelu(_ap(cp["ffn1"], q2)), dr)
+            ffn = _dropout(_fold(lk, 1), _gelu(_ap(cp["ffn1"], q2)), dr)
             ffn = _dropout(_fold(lk, 2), _ap(cp["ffn2"], ffn), dr)
             h_cross = _ln(q2 + ffn, cp["ln2"])[:, 0, :]
             hcur = hcur + h_cross
@@ -263,7 +272,7 @@ class RFMRec(RecModel):
             )
             hcur = hcur + _ln(hcur[:, None, :] + sa, sp["ln"])[:, 0, :]
             rp = vp["res"][i]
-            hr = _dropout(_fold(lk, 4), jax.nn.gelu(_ap(rp["net1"], hcur)), dr)
+            hr = _dropout(_fold(lk, 4), _gelu(_ap(rp["net1"], hcur)), dr)
             hr = _ap(rp["net2"], hr)
             hr = self._group_norm(hr, rp["gn"])
             scale = _ap(rp["scale2"], jax.nn.silu(_ap(rp["scale1"], cond_agg)))

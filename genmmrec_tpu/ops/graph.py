@@ -159,6 +159,7 @@ def bipartite_norm_adj(
     n_users: int,
     n_items: int,
     eps: float = 1e-7,
+    weighted: bool = False,
 ) -> SparseGraph:
     """Symmetric-normalized (N+M)×(N+M) adjacency D^{-1/2} A D^{-1/2}.
 
@@ -166,17 +167,29 @@ def bipartite_norm_adj(
     reference builder (`src/models/lightgcn.py:65-101`): degree = row count
     + eps, then -0.5 power. Duplicate (u, i) pairs are deduplicated —
     matching the reference's dict-based assembly which collapses dupes.
+
+    ``weighted=True`` keeps duplicate-interaction multiplicity as the edge
+    weight and in the degrees — parity with the reference builders that
+    assign the scipy interaction matrix into a lil block without resetting
+    values (`src/models/rfmrec.py:89-107`: ``adj[:n_u, n_u:] = R`` where R
+    sums repeated (u, i) rows).
     """
     N = n_users + n_items
-    pairs = np.unique(
-        np.stack([users.astype(np.int64), items.astype(np.int64)], axis=1), axis=0
+    pairs, counts = np.unique(
+        np.stack([users.astype(np.int64), items.astype(np.int64)], axis=1),
+        axis=0, return_counts=True,
     )
     uu, ii = pairs[:, 0], pairs[:, 1] + n_users
     rows = np.concatenate([uu, ii])
     cols = np.concatenate([ii, uu])
-    deg = np.bincount(rows, minlength=N).astype(np.float64) + eps
+    w = (
+        np.concatenate([counts, counts]).astype(np.float64)
+        if weighted
+        else np.ones(rows.shape[0], np.float64)
+    )
+    deg = np.bincount(rows, weights=w, minlength=N) + eps
     d_inv_sqrt = np.power(deg, -0.5)
-    vals = (d_inv_sqrt[rows] * d_inv_sqrt[cols]).astype(np.float32)
+    vals = (w * d_inv_sqrt[rows] * d_inv_sqrt[cols]).astype(np.float32)
     order = np.argsort(rows, kind="stable")
     return SparseGraph(
         rows=jnp.asarray(rows[order].astype(np.int32)),
