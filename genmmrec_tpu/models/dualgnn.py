@@ -128,15 +128,24 @@ class DualGNN(RecModel):
 
     # ------------------------------------------------------------------
     def init_params(self, key):
+        from genmmrec_tpu.common.init import linear_params
+
         ks = jax.random.split(key, 10)
         d = self.dim_latent
+        # the reference xavier-inits only `preference` and `weight_u/i`; its
+        # GCN.MLP / MLP_1 keep torch nn.Linear DEFAULTS (kaiming-uniform
+        # weight + uniform bias, dualgnn.py:295-297) — load-bearing because
+        # both frameworks peak at epoch 0 on this model, so the init-time
+        # feature projection largely decides the converged metric
+        from genmmrec_tpu.common.init import kaiming_uniform_default as kud
+
         return {
             "v_preference": xavier_normal(ks[0], (self.n_users, d)),
-            "v_mlp": {"w": xavier_normal(ks[1], (4 * d, self.v_feat.shape[1])), "b": jnp.zeros((4 * d,))},
-            "v_mlp1": {"w": xavier_normal(ks[2], (d, 4 * d)), "b": jnp.zeros((d,))},
+            "v_mlp": linear_params(ks[1], self.v_feat.shape[1], 4 * d, init=kud),
+            "v_mlp1": linear_params(ks[2], 4 * d, d, init=kud),
             "t_preference": xavier_normal(ks[3], (self.n_users, d)),
-            "t_mlp": {"w": xavier_normal(ks[4], (4 * d, self.t_feat.shape[1])), "b": jnp.zeros((4 * d,))},
-            "t_mlp1": {"w": xavier_normal(ks[5], (d, 4 * d)), "b": jnp.zeros((d,))},
+            "t_mlp": linear_params(ks[4], self.t_feat.shape[1], 4 * d, init=kud),
+            "t_mlp1": linear_params(ks[5], 4 * d, d, init=kud),
             "weight_u": jax.nn.softmax(
                 xavier_normal(ks[6], (self.n_users, 2, 1)), axis=1
             ),
