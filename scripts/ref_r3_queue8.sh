@@ -32,4 +32,9 @@ run() {
 run SLMRec -seed1000 50 7200  '{"seed": [1000]}'
 run CoDMR  ""        50 10800 '{}'
 run MVGAE  -full     50 10800 '{}'
+# RFMRec on the synthetic (noise-feature) baby export: ours posts 0.001
+# there while trajectory-matching the reference on the struct export
+# pointwise; this run settles whether the reference is also ~0.001 on the
+# noise lane (~770 s/epoch on torch-CPU; early stop ~ep11; harvest partial)
+run RFMRec -noise    50 10800 '{}'
 echo "REF R3 QUEUE8 DONE $(date)"
