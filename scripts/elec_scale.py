@@ -124,24 +124,30 @@ def run_model(model_name: str, epochs: int):
             "neg": jnp.ones(B, jnp.int32),
             "weight": jnp.ones(B, jnp.float32),
         }
-        lg = jax.jit(
-            lambda p, s, b, k: jax.value_and_grad(
-                lambda p: model.loss(p, s, b, k)[0]
-            )(p)
-        )
+        # buffers ride as ARGUMENTS (model.bound), not captured constants:
+        # AOT lowering serializes captured graph buffers into the HLO proto
+        # and the tunnel rejects the >100MB request body (HTTP 413)
+        def _lg(p, s, b, k, buffers):
+            with model.bound(buffers):
+                return jax.value_and_grad(
+                    lambda q: model.loss(q, s, b, k)[0]
+                )(p)
+
+        lg = jax.jit(_lg)
         k = jax.random.PRNGKey(2)
+        bufs = model.buffers()
         # AOT-compile once: gives both the callable for timing and XLA's
         # static memory analysis (axon's dev.memory_stats() is empty over
         # the tunnel, so the compiled-program footprint is the recordable
         # HBM number — see scripts/probe_hbm.py)
-        lg_c = lg.lower(params, state, batch, k).compile()
+        lg_c = lg.lower(params, state, batch, k, bufs).compile()
         prof["loss_grad_temps_gb"] = round(
             lg_c.memory_analysis().temp_size_in_bytes / 2**30, 3
         )
-        jax.block_until_ready(lg_c(params, state, batch, k))
+        jax.block_until_ready(lg_c(params, state, batch, k, bufs))
         t0 = time.time()
         for _ in range(3):
-            out = lg_c(params, state, batch, k)
+            out = lg_c(params, state, batch, k, bufs)
         jax.block_until_ready(out)
         prof["loss_grad_batch_ms"] = round((time.time() - t0) / 3 * 1e3, 2)
     except Exception as e:
@@ -166,10 +172,13 @@ def run_model(model_name: str, epochs: int):
         )
         users = jnp.zeros((ebs,), jnp.int32)
 
-        def eval_chunk(p, s, u):
-            return jax.lax.top_k(model.scores(p, s, u), 50)
+        def eval_chunk(p, s, u, buffers):
+            with model.bound(buffers):
+                return jax.lax.top_k(model.scores(p, s, u), 50)
 
-        ma = jax.jit(eval_chunk).lower(params, state, users).compile()
+        ma = jax.jit(eval_chunk).lower(
+            params, state, users, model.buffers()
+        ).compile()
         ev = ma.memory_analysis()
         eval_gb = (ev.temp_size_in_bytes + ev.output_size_in_bytes) / 2**30
         prof["hbm_static_gb"] = round(
