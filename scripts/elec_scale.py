@@ -172,9 +172,11 @@ def run_model(model_name: str, epochs: int):
         )
         users = jnp.zeros((ebs,), jnp.int32)
 
+        k_eff = min(50, int(model.n_items))
+
         def eval_chunk(p, s, u, buffers):
             with model.bound(buffers):
-                return jax.lax.top_k(model.scores(p, s, u), 50)
+                return jax.lax.top_k(model.scores(p, s, u), k_eff)
 
         ma = jax.jit(eval_chunk).lower(
             params, state, users, model.buffers()
