@@ -25,6 +25,13 @@ MODELS = [
     # round-3 adjudication cohort (VERDICT r2 item 3)
     "SLMRec", "GRCN", "DualGNN", "MVGAE", "CoDMR", "MVDiff",
 ]
+
+# preferred tagged run pair when the base pair is budget-mismatched:
+# GenRecV1's base ref run died at epoch 18 of 50; the -ep60 pair re-ran the
+# reference at a 60-epoch budget (reached epoch 35, harvested partial) and
+# ours to the full 60, giving a longer same-budget window (exact valid
+# match 0.0355 at the last common epoch, docs/ROUND3.md)
+PAIR_TAGS = {"GenRecV1": "-ep60"}
 METRICS = ["recall@20", "ndcg@20", "recall@10", "ndcg@10"]
 
 
@@ -111,7 +118,7 @@ def valid_trajectory(model, side, dataset="baby"):
     return None
 
 
-def _capped_ours(model, cap, dataset="baby"):
+def _capped_ours(model, cap, dataset="baby", tag=""):
     """Our test-upon-best-valid restricted to the first `cap` epochs, parsed
     from our own trainer log (same format as the reference's)."""
     import sys
@@ -119,7 +126,9 @@ def _capped_ours(model, cap, dataset="baby"):
     sys.path.insert(0, os.path.join(ROOT, "scripts"))
     from harvest_ref_log import parse_blocks
 
-    path = os.path.join(ROOT, "our_runs", f"{model}-{dataset}", "stdout.log")
+    path = os.path.join(
+        ROOT, "our_runs", f"{model}-{dataset}{tag}", "stdout.log"
+    )
     if not os.path.exists(path):
         return None
     best = None
@@ -163,8 +172,13 @@ def main():
     ]
     wall_rows = []
     for m in MODELS:
-        ours = load("our_runs", m, args.dataset)
-        ref = load("ref_runs", m, args.dataset)
+        pair_tag = PAIR_TAGS.get(m, "")
+        ours = load("our_runs", m, args.dataset, pair_tag)
+        ref = load("ref_runs", m, args.dataset, pair_tag)
+        if pair_tag and not (ours and ref):  # tagged pair incomplete
+            ours = load("our_runs", m, args.dataset)
+            ref = load("ref_runs", m, args.dataset)
+            pair_tag = ""
         cap_note = ""
         if ours and ref and ref.get("partial"):
             # the reference run was killed by its queue timeout after
@@ -172,7 +186,7 @@ def main():
             # same epoch budget from our own trainer log so the comparison
             # is same-budget, and say so in the table
             cap = int(ref.get("epochs_budget") or 0)
-            capped = _capped_ours(m, cap, args.dataset)
+            capped = _capped_ours(m, cap, args.dataset, pair_tag)
             if capped is not None:
                 ours = dict(ours, test_upon_valid=capped)
                 cap_note = f" (both capped @{cap} epochs — ref timed out)"
