@@ -53,7 +53,7 @@ def peak_hbm_gb():
 DATASET = "elec"
 
 
-def run_model(model_name: str, epochs: int):
+def run_model(model_name: str, epochs: int, probe_only: bool = False):
     import jax
 
     from genmmrec_tpu.config import Config
@@ -91,7 +91,13 @@ def run_model(model_name: str, epochs: int):
     t_build = time.time() - t0
 
     t0 = time.time()
-    score, valid_res, test_res = trainer.fit(td, vd, sd, saved=False)
+    if probe_only:
+        # memory probes only -- skip training/eval entirely so the AOT
+        # probe programs get the whole chip (running them after a full fit
+        # leaves the fit's buffers alive and the probe OOMs)
+        score, valid_res, test_res = float("nan"), {}, {}
+    else:
+        score, valid_res, test_res = trainer.fit(td, vd, sd, saved=False)
     t_fit = time.time() - t0
 
     # micro-profile: attribute per-batch cost at this scale (one SpMM pass
@@ -178,11 +184,17 @@ def run_model(model_name: str, epochs: int):
             with model.bound(buffers):
                 return jax.lax.top_k(model.scores(p, s, u), k_eff)
 
-        ma = jax.jit(eval_chunk).lower(
-            params, state, users, model.buffers()
-        ).compile()
-        ev = ma.memory_analysis()
-        eval_gb = (ev.temp_size_in_bytes + ev.output_size_in_bytes) / 2**30
+        eval_gb = 0.0
+        try:
+            ma = jax.jit(eval_chunk).lower(
+                params, state, users, model.buffers()
+            ).compile()
+            ev = ma.memory_analysis()
+            eval_gb = (
+                ev.temp_size_in_bytes + ev.output_size_in_bytes
+            ) / 2**30
+        except Exception as e:
+            prof["eval_probe_err"] = str(e)[:200]
         prof["hbm_static_gb"] = round(
             3 * params_gb + bufs_gb
             + max(eval_gb, prof.get("loss_grad_temps_gb", 0.0)), 2
@@ -216,6 +228,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--dataset", default="elec",
                     help="override for smoke-testing the harness itself")
+    ap.add_argument("--probe-only", action="store_true",
+                    help="memory probes only; merge into existing entries "
+                         "without touching recorded timings/metrics")
     args = ap.parse_args()
 
     global DATASET
@@ -231,7 +246,15 @@ def main():
     for m in args.models:
         print(f"=== {m} @ elec scale ===", flush=True)
         try:
-            results[m] = run_model(m, args.epochs)
+            r = run_model(m, args.epochs, probe_only=args.probe_only)
+            if args.probe_only:
+                keep = {
+                    k: v for k, v in r.items()
+                    if "hbm" in k or "probe" in k or "temps" in k
+                }
+                results[m] = {**results.get(m, {}), **keep}
+            else:
+                results[m] = r
         except Exception as e:  # record OOM/compile failures honestly
             results[m] = {"model": m, "error": f"{type(e).__name__}: {e}"[:6000]}
         with open(out_path, "w") as f:
@@ -266,7 +289,8 @@ def main():
         else:
             lines.append(
                 f"| {m} | {r['data_s']} | {r['build_s']} | "
-                f"{r['fit_s_per_epoch']} | {r['peak_hbm_gb']} | "
+                f"{r['fit_s_per_epoch']} | "
+                f"{r.get('peak_hbm_gb') or r.get('hbm_static_gb')} | "
                 f"{r['valid_recall@20']:.4f} | {r['test_recall@20']:.4f} |"
             )
     text = "\n".join(lines) + "\n"
