@@ -117,16 +117,29 @@ def reference_measured(model: str, dataset: str):
     exists."""
     import re
 
-    run_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "ref_runs", f"{model}-{dataset}"
-    )
-    logdir = os.path.join(run_dir, "log")
-    if not os.path.isdir(logdir):
-        return None
-    logs = sorted(
-        (os.path.join(logdir, f) for f in os.listdir(logdir)),
-        key=os.path.getmtime,
-    )
+    ref_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ref_runs")
+    # untagged run dir first, then tagged variants of the same model+dataset
+    # (e.g. GenRecV1-baby-ep60) — same package, same host, same data, so
+    # their per-epoch timers are equally valid "measured" sources.
+    candidates = [os.path.join(ref_root, f"{model}-{dataset}")]
+    prefix = f"{model}-{dataset}-"
+    if os.path.isdir(ref_root):
+        candidates += sorted(
+            os.path.join(ref_root, d)
+            for d in os.listdir(ref_root)
+            if d.startswith(prefix) and os.path.isdir(os.path.join(ref_root, d))
+        )
+    logs = []
+    for run_dir in candidates:
+        logdir = os.path.join(run_dir, "log")
+        if os.path.isdir(logdir):
+            found = sorted(
+                (os.path.join(logdir, f) for f in os.listdir(logdir)),
+                key=os.path.getmtime,
+            )
+            if found:
+                logs = found
+                break  # untagged dir wins; tagged dirs are the fallback
     if not logs:
         return None
     text = open(logs[-1]).read()
