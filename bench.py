@@ -141,7 +141,25 @@ def reference_measured(model: str, dataset: str):
                 logs = found
                 break  # untagged dir wins; tagged dirs are the fallback
     if not logs:
-        return None
+        # log/ dirs are gitignored and die with VM resets; the committed
+        # <run_dir>.out stdout captures carry the same reference logger
+        # lines (run_reference.py redirects the console handler there), so
+        # fall back to whichever .out has the most steady-state epochs.
+        import re as _re
+
+        best, best_n = None, 0
+        for run_dir in candidates:
+            out = run_dir + ".out"
+            alt = run_dir + "-relog.out"
+            for path in (out, alt):
+                if os.path.isfile(path):
+                    n = len(_re.findall(
+                        r"training \[time: ", open(path).read()))
+                    if n > best_n:
+                        best, best_n = path, n
+        if best is None or best_n < 2:
+            return None
+        logs = [best]
     text = open(logs[-1]).read()
     train_t = [float(x) for x in re.findall(r"training \[time: ([0-9.]+)s", text)]
     eval_t = [float(x) for x in re.findall(r"evaluating \[time: ([0-9.]+)s", text)]
