@@ -145,19 +145,27 @@ def reference_measured(model: str, dataset: str):
         # <run_dir>.out stdout captures carry the same reference logger
         # lines (run_reference.py redirects the console handler there), so
         # fall back to whichever .out has the most steady-state epochs.
+        import glob as _glob
         import re as _re
 
-        best, best_n = None, 0
-        for run_dir in candidates:
-            out = run_dir + ".out"
-            alt = run_dir + "-relog.out"
-            for path in (out, alt):
-                if os.path.isfile(path):
-                    n = len(_re.findall(
-                        r"training \[time: ", open(path).read()))
-                    if n > best_n:
-                        best, best_n = path, n
-        if best is None or best_n < 2:
+        # Glob captures directly — the run *directories* die with VM
+        # resets, but the committed .out files survive, so don't derive
+        # capture paths from directories that may no longer exist.
+        untagged = os.path.join(ref_root, f"{model}-{dataset}.out")
+        capture_paths = sorted(
+            set(_glob.glob(os.path.join(ref_root, f"{model}-{dataset}*.out")))
+        )
+        best, best_key = None, (0, 0)
+        for path in capture_paths:
+            text_ = open(path).read()
+            n_train = len(_re.findall(r"training \[time: ", text_))
+            n_eval = len(_re.findall(r"evaluating \[time: ", text_))
+            if n_train < 2 or n_eval < 1:
+                continue  # unusable: reference_measured needs both timers
+            key = (n_train, 1 if path == untagged else 0)
+            if key > best_key:
+                best, best_key = path, key
+        if best is None:
             return None
         logs = [best]
     text = open(logs[-1]).read()

@@ -259,6 +259,7 @@ def main():
             results[m] = {"model": m, "error": f"{type(e).__name__}: {e}"[:6000]}
         with open(out_path, "w") as f:
             json.dump(results, f, indent=2)
+            f.write("\n")
         print(json.dumps(results[m]), flush=True)
 
     lines = [

@@ -17,6 +17,8 @@ run() {
   echo "=== $(date +%H:%M:%S) START ref $model$tag (epochs=$epochs tmo=${tmo}s)"
   local args=()
   [ -n "$tag" ] && args+=(--tag "${tag#-}")
+  # Preserve prior capture: never truncate committed evidence in place
+  [ -f "$dir.out" ] && mv "$dir.out" "$dir.out.prev"
   nice -n 10 timeout "$tmo" python scripts/run_reference.py \
     -m "$model" -d baby --epochs "$epochs" --stopping-step 10 \
     "${args[@]}" --config-json "${cfg:-{\}}" > "$dir.out" 2>&1

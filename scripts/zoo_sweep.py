@@ -133,6 +133,7 @@ def main():
         )
         with open(out_path, "w") as f:
             json.dump(results, f, indent=2, sort_keys=True)
+            f.write("\n")
 
     n_ok = sum(1 for r in results.values() if r["ok"])
     print(f"\n{n_ok}/{len(results)} models OK — {out_path}")
