@@ -35,6 +35,85 @@ OPTIMAL_K = {
 DEFAULT_K = {"image": 18, "text": 59, "audio": 46}
 
 
+# ----------------------------------------------------------------------
+# Device k-means (Lloyd + k-means++ D² seeding). The reference clusters with
+# sklearn on host (`src/common/interest_cluster.py:78`); at elec scale
+# (63001 x 4096, k=18, n_init=10) that is hours on one CPU core while the
+# same computation is seconds of MXU matmuls — this was the entire
+# GenRecV1-at-elec timeout in round 3. Semantics match sklearn KMeans
+# (k-means++ init, Lloyd iterations, best-inertia over n_init restarts);
+# the reference's KMeans() has no fixed random_state, so parity is
+# distributional, not bitwise.
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("k", "max_iter"))
+def _kmeans_single(key, x, k: int, max_iter: int = 100, tol: float = 1e-4):
+    n = x.shape[0]
+    x_sq = (x * x).sum(-1)
+    hi = jax.lax.Precision.HIGHEST
+
+    def dist2(centers):
+        cross = jnp.dot(x, centers.T, precision=hi)
+        c_sq = (centers * centers).sum(-1)
+        return jnp.maximum(x_sq[:, None] - 2.0 * cross + c_sq[None, :], 0.0)
+
+    # k-means++ (plain D² sampling)
+    k_first, k_loop = jax.random.split(key)
+    first = jax.random.randint(k_first, (), 0, n)
+    centers0 = jnp.zeros((k, x.shape[1]), x.dtype).at[0].set(x[first])
+    mind0 = ((x - x[first]) ** 2).sum(-1)
+
+    def seed_body(i, carry):
+        centers, mind, kk = carry
+        kk, k_sel = jax.random.split(kk)
+        probs = mind / jnp.maximum(mind.sum(), 1e-12)
+        idx = jax.random.choice(k_sel, n, p=probs)
+        c = x[idx]
+        centers = centers.at[i].set(c)
+        mind = jnp.minimum(mind, ((x - c) ** 2).sum(-1))
+        return centers, mind, kk
+
+    centers, _, _ = jax.lax.fori_loop(1, k, seed_body, (centers0, mind0, k_loop))
+
+    def cond(carry):
+        _, shift, it = carry
+        return jnp.logical_and(it < max_iter, shift > tol)
+
+    def body(carry):
+        centers, _, it = carry
+        labels = jnp.argmin(dist2(centers), axis=1)
+        counts = jax.ops.segment_sum(jnp.ones((n,), x.dtype), labels, num_segments=k)
+        sums = jax.ops.segment_sum(x, labels, num_segments=k)
+        new = jnp.where(
+            counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centers
+        )
+        shift = ((new - centers) ** 2).sum()
+        return new, shift, it + 1
+
+    centers, _, _ = jax.lax.while_loop(cond, body, (centers, jnp.inf, 0))
+    d = dist2(centers)
+    labels = jnp.argmin(d, axis=1)
+    inertia = jnp.take_along_axis(d, labels[:, None], axis=1).sum()
+    return labels, inertia
+
+
+def kmeans_fit(
+    features: np.ndarray, k: int, n_init: int = 10, seed: int = 0, max_iter: int = 100
+):
+    """Best-of-``n_init`` device k-means; returns (labels, inertia) on host."""
+    x = jnp.asarray(np.asarray(features, np.float32))
+    best_labels, best_inertia = None, np.inf
+    for i in range(n_init):
+        labels, inertia = _kmeans_single(
+            jax.random.PRNGKey(seed * 1000003 + i), x, k=int(k), max_iter=max_iter
+        )
+        inertia = float(inertia)
+        if inertia < best_inertia:
+            best_labels, best_inertia = np.asarray(labels), inertia
+    return best_labels, best_inertia
+
+
 class MultimodalCluster:
     def __init__(
         self,
@@ -64,27 +143,27 @@ class MultimodalCluster:
     def multimodal_specific_cluster(
         self, features, modality: str, optimal_cluster_num: int
     ) -> np.ndarray:
-        from sklearn.cluster import KMeans
-
-        feats = self._standardize(np.asarray(features, np.float64))
+        feats = self._standardize(np.asarray(features, np.float64)).astype(np.float32)
         k = (
             self.get_kmeans_cluster_optimal_num(feats)
             if self.use_auto_optimal_k
             else optimal_cluster_num
         )
         k = max(2, min(int(k), feats.shape[0]))
-        return KMeans(n_clusters=k, random_state=self.seed, n_init=10).fit(feats).labels_
+        labels, _ = kmeans_fit(feats, k, n_init=10, seed=self.seed)
+        return labels
 
     def get_kmeans_cluster_optimal_num(self, feats: np.ndarray) -> int:
-        from sklearn.cluster import KMeans
-
+        """Inertia second-difference auto-k. NOTE: the reference imports
+        sklearn's silhouette_score but never calls it
+        (`src/common/interest_cluster.py:13` is an unused import); its
+        actual selection rule is argmin of np.diff(np.diff(inertias))
+        (:82-105) — reproduced here exactly, with the k-grid fits on
+        device."""
         distortions = []
         for i in range(self.k_min, min(self.k_max, feats.shape[0]), self.stride):
-            distortions.append(
-                KMeans(n_clusters=i, random_state=self.seed, n_init=3)
-                .fit(feats)
-                .inertia_
-            )
+            _, inertia = kmeans_fit(feats, i, n_init=3, seed=self.seed)
+            distortions.append(inertia)
         diff2 = np.diff(np.diff(distortions))
         return int(np.argmin(diff2)) + self.k_min + 1
 

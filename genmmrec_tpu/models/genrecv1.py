@@ -318,12 +318,23 @@ class GenRecV1(RecModel):
         log_1mp = jax.nn.log_sigmoid(-logits)
         bce = -(pos_weight * x_start * log_p + (1.0 - x_start) * log_1mp).mean()
 
-        gen_output, _ = flipd.p_sample(
-            k_gen, self.denoise_fn(dn_params), x_start, self.steps, self.steps,
-            self.flip_temp, self.bayesian,
-        )
-        modal_emb = item_embeds * img_feats
-        cl = flipd.infonce_rows(x_start @ modal_emb, gen_output @ modal_emb, self.sparse_temp)
+        # the contrastive term's gradient is exactly zero in the reference:
+        # gen_output comes out of torch.bernoulli (non-differentiable) and
+        # itmEmbeds/model_feats are detached inputs (genrecv1.py:577-582).
+        # stop_gradient makes that explicit so JAX skips the backward pass
+        # through the 5-step p_sample chain of (B, n_items) activations —
+        # same loss value, same (zero) gradient, ~half the phase-1 cost.
+        def _cl_term(dn):
+            gen_output, _ = flipd.p_sample(
+                k_gen, self.denoise_fn(dn), x_start, self.steps, self.steps,
+                self.flip_temp, self.bayesian,
+            )
+            modal_emb = item_embeds * img_feats
+            return flipd.infonce_rows(
+                x_start @ modal_emb, gen_output @ modal_emb, self.sparse_temp
+            )
+
+        cl = _cl_term(jax.lax.stop_gradient(dn_params))
 
         kl = flipd.kl_to_posterior(x_start, t, probs, self.steps)
         curriculum = jnp.clip(t.astype(jnp.float32) / self.steps, 0.0, 0.5)

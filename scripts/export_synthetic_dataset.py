@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--dataset", default="baby")
     ap.add_argument("--uu-topk", type=int, default=200)
     ap.add_argument("--force", action="store_true")
+    ap.add_argument(
+        "--skip-uu", action="store_true",
+        help="skip the user-user co-occurrence graph (only DualGNN/DRAGON "
+        "read it; at elec scale it dominates export time)",
+    )
     args = ap.parse_args()
 
     from genmmrec_tpu.config import Config
@@ -86,11 +91,16 @@ def main():
     np.save(os.path.join(out_dir, config["text_feature_file"] or "text_feat.npy"), t_feat)
     print(f"wrote image_feat {v_feat.shape}, text_feat {t_feat.shape}")
 
-    from genmmrec_tpu.preprocessing.pipeline import save_user_graph_dict
+    if args.skip_uu:
+        print("skipped user_graph_dict (--skip-uu)")
+    else:
+        from genmmrec_tpu.preprocessing.pipeline import save_user_graph_dict
 
-    uu_path = os.path.join(out_dir, config["user_graph_dict_file"] or "user_graph_dict.npy")
-    save_user_graph_dict(inter_path, uu_path, top_k=args.uu_topk)
-    print(f"wrote {uu_path}")
+        uu_path = os.path.join(
+            out_dir, config["user_graph_dict_file"] or "user_graph_dict.npy"
+        )
+        save_user_graph_dict(inter_path, uu_path, top_k=args.uu_topk)
+        print(f"wrote {uu_path}")
 
 
 if __name__ == "__main__":
