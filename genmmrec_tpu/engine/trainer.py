@@ -359,13 +359,15 @@ class Trainer:
         # (parallel.mesh.sharded_topk) instead of all-gathering full scores
         topk_mesh = None
         if self.mesh is not None and self.mesh.shape[MODEL_AXIS] > 1:
-            if n_items % self.mesh.shape[MODEL_AXIS] == 0:
+            if n_items // self.mesh.shape[MODEL_AXIS] >= k_eff:
+                # uneven widths are handled by sharded_topk's -inf padding
+                # (real catalogs are not axis multiples: elec 63001 = 251²)
                 topk_mesh = self.mesh
             else:
                 self.logger.warning(
-                    "n_items %d not divisible by model axis %d — eval "
-                    "top-k stays unsharded",
-                    n_items, self.mesh.shape[MODEL_AXIS],
+                    "n_items %d too narrow for model axis %d at k=%d — "
+                    "eval top-k stays unsharded",
+                    n_items, self.mesh.shape[MODEL_AXIS], k_eff,
                 )
 
         # models with user-independent eval computation (full propagated

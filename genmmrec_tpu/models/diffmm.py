@@ -86,6 +86,18 @@ class DiffMM(RecModel):
         self.image_feat_dim = self.v_feat.shape[1] if self.v_feat is not None else 0
         self.text_feat_dim = self.t_feat.shape[1] if self.t_feat is not None else 0
 
+        # rematerialize the propagation chain in the loss-grad program: at
+        # elec scale the stored per-layer (N, 64..192) residuals dominated
+        # program temps (7.93 GB of 12.44 GB total, comparison_logs/
+        # elec_scale.json r3). Auto-on past 100k nodes; override with the
+        # remat_gcn config key. Trades one recompute of each layer's SpMMs
+        # for dropping its residuals.
+        remat_cfg = config["remat_gcn"]
+        if remat_cfg is None:
+            self.remat = (self.n_users + self.n_items) > 100_000
+        else:
+            self.remat = bool(remat_cfg)
+
     # ------------------------------------------------------------------
     def init_params(self, key):
         ks = jax.random.split(key, 7)
@@ -242,27 +254,40 @@ class DiffMM(RecModel):
         u_img = jnp.concatenate([rec["uEmbeds"], _l2norm(image_feats)])
         u_txt = jnp.concatenate([rec["uEmbeds"], _l2norm(text_feats)])
 
-        # one pass per modal graph feeds both the main branch and its CL tower
-        e_img_adj, cl1 = spmm_multi(img_adj, [ego, u_img])
-        e_txt_adj, cl2 = spmm_multi(txt_adj, [ego, u_txt])
+        ckpt = jax.checkpoint if self.remat else (lambda f: f)
 
-        e_img, e_txt = spmm_multi(adj, [u_img, u_txt])
-        e_img_, e_txt_ = spmm_multi(
-            adj,
-            [
-                jnp.concatenate([e_img[: self.n_users], rec["iEmbeds"]]),
-                jnp.concatenate([e_txt[: self.n_users], rec["iEmbeds"]]),
-            ],
+        @ckpt
+        def _modal_passes(ego, u_img, u_txt, i_embeds):
+            # one pass per modal graph feeds both the main branch and its
+            # CL tower
+            e_img_adj, cl1 = spmm_multi(img_adj, [ego, u_img])
+            e_txt_adj, cl2 = spmm_multi(txt_adj, [ego, u_txt])
+            e_img, e_txt = spmm_multi(adj, [u_img, u_txt])
+            e_img_, e_txt_ = spmm_multi(
+                adj,
+                [
+                    jnp.concatenate([e_img[: self.n_users], i_embeds]),
+                    jnp.concatenate([e_txt[: self.n_users], i_embeds]),
+                ],
+            )
+            return e_img + e_img_, e_txt + e_txt_, e_img_adj, e_txt_adj, cl1, cl2
+
+        ei, et, e_img_adj, e_txt_adj, cl1, cl2 = _modal_passes(
+            ego, u_img, u_txt, rec["iEmbeds"]
         )
-        embedsImage = e_img + e_img_ + self.ris_adj_lambda * e_img_adj
-        embedsText = e_txt + e_txt_ + self.ris_adj_lambda * e_txt_adj
+        embedsImage = ei + self.ris_adj_lambda * e_img_adj
+        embedsText = et + self.ris_adj_lambda * e_txt_adj
         embedsModal = weight[0] * embedsImage + weight[1] * embedsText
 
-        # rec-tower layers and both CL-tower layers ride one d=192 pass each
+        @ckpt
+        def _layer(rec_e, cl1, cl2):
+            # rec-tower layer and both CL-tower layers ride one d=192 pass
+            return spmm_multi(adj, [rec_e, cl1, cl2])
+
         rec_e, acc = embedsModal, embedsModal
         acc1, acc2 = cl1, cl2
         for _ in range(self.gnn_layer):
-            rec_e, cl1, cl2 = spmm_multi(adj, [rec_e, cl1, cl2])
+            rec_e, cl1, cl2 = _layer(rec_e, cl1, cl2)
             acc = acc + rec_e
             acc1 = acc1 + cl1
             acc2 = acc2 + cl2

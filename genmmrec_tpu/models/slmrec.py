@@ -5,8 +5,9 @@ Parity with reference `src/models/slmrec.py:20-480`:
   (D^{-1/2}(A)D^{-1/2}) adjacency; concat fusion + post-GCN linear heads;
 - main loss: in-batch InfoNCE (CrossEntropy over u·posᵀ logits);
 - SSL tasks: FAC (fine-and-coarse projection heads g_i_iv … g_t_ivat,
-  default), FD (dropout-perturbed twin propagation), FM (random modality
-  masking), each as in-batch CE between the two views.
+  default), FD (dropout-perturbed twin propagation, :120-190), FM (random
+  modality masking, :192-267), FD+FM (masking + per-layer dropout, :352),
+  each as in-batch CE between the two views.
 """
 
 from __future__ import annotations
@@ -162,6 +163,67 @@ class SLMRec(RecModel):
             _l2n(i1), _l2n(i2), self.ssl_temp, weights
         )
 
+    def _fm(self, params, key, users, items, weights, use_dropout):
+        """Feature Masking (reference `feature_masking`, slmrec.py:192-267):
+        draw two DISTINCT modality indices; view k zeroes the item-side
+        input of its drawn modality before propagation. Reproduces the
+        reference's crossed accumulation (embs_sub_1 collects view-2's
+        propagated layers and vice versa, :227-229). Masking candidates are
+        the modalities actually present — [v, t, id] here; the reference
+        hard-codes [v, a, t, id] and dereferences ``a_dense_emb``
+        unconditionally (:157,:243), which raises on audio-less datasets.
+        ``use_dropout=True`` is the FD+FM task (:352)."""
+        u = params["embedding_user"]
+        towers = [  # fusion order [id, v, t] as in compute(); mask ids below
+            params["embedding_item"],
+            self._lin(params["v_dense"], self.v_feat),
+            self._lin(params["t_dense"], self.t_feat),
+        ]
+        mask_id = [2, 0, 1]  # id ↔ last mask index, like the reference's 3
+        R = len(towers)
+        k_sel, k_d = jax.random.split(key)
+        k_sel1, k_sel2 = jax.random.split(k_sel)
+        idx1 = jax.random.randint(k_sel1, (), 0, R)
+        idx2 = jax.random.randint(k_sel2, (), 0, R - 1)
+        idx2 = idx2 + (idx2 >= idx1).astype(idx2.dtype)  # distinct draw
+
+        reps1, reps2 = [], []
+        for j, i_emb in enumerate(towers):
+            m = mask_id[j]
+            x1 = jnp.concatenate(
+                [u, i_emb * (m != idx1).astype(i_emb.dtype)], axis=0
+            )
+            x2 = jnp.concatenate(
+                [u, i_emb * (m != idx2).astype(i_emb.dtype)], axis=0
+            )
+            e1, e2, acc1, acc2 = x1, x2, x1, x2
+            for li in range(self.n_layers):
+                e1 = spmm(self.norm_adj, e1)
+                e2 = spmm(self.norm_adj, e2)
+                if use_dropout:
+                    kd1 = jax.random.fold_in(k_d, j * 2 * self.n_layers + li)
+                    kd2 = jax.random.fold_in(
+                        k_d, (j * 2 + 1) * self.n_layers + li
+                    )
+                    keep1 = jax.random.bernoulli(kd1, 1.0 - self.dropout_rate, e1.shape)
+                    keep2 = jax.random.bernoulli(kd2, 1.0 - self.dropout_rate, e2.shape)
+                    e1 = jnp.where(keep1, e1 / (1.0 - self.dropout_rate), 0.0)
+                    e2 = jnp.where(keep2, e2 / (1.0 - self.dropout_rate), 0.0)
+                # crossed accumulation, exactly as the reference
+                acc2 = acc2 + e1
+                acc1 = acc1 + e2
+            reps1.append(acc1 / (self.n_layers + 1))
+            reps2.append(acc2 / (self.n_layers + 1))
+
+        nu = self.n_users
+        u1 = self._lin(params["user_after"], self._fusion([r[:nu] for r in reps1]))[users]
+        u2 = self._lin(params["user_after"], self._fusion([r[:nu] for r in reps2]))[users]
+        i1 = self._lin(params["item_after"], self._fusion([r[nu:] for r in reps1]))[items]
+        i2 = self._lin(params["item_after"], self._fusion([r[nu:] for r in reps2]))[items]
+        return _in_batch_ce(_l2n(u1), _l2n(u2), self.ssl_temp, weights) + _in_batch_ce(
+            _l2n(i1), _l2n(i2), self.ssl_temp, weights
+        )
+
     # ------------------------------------------------------------------
     def loss(self, params, state, batch, key):
         users, pos, w = batch["users"], batch["pos"], batch["weight"]
@@ -169,7 +231,11 @@ class SLMRec(RecModel):
         main = _in_batch_ce(_l2n(all_u[users]), _l2n(all_i[pos]), self.temp, w)
         if self.ssl_task == "FAC":
             ssl = self._fac(params, pos, w)
-        else:  # FD / FM / FD+FM approximated by the dropout-twin view
+        elif self.ssl_task == "FM":
+            ssl = self._fm(params, key, users, pos, w, use_dropout=False)
+        elif self.ssl_task == "FD+FM":
+            ssl = self._fm(params, key, users, pos, w, use_dropout=True)
+        else:  # FD
             ssl = self._fd(params, key, users, pos, w)
         total = main + self.ssl_alpha * ssl
         return total, (total,)

@@ -119,12 +119,17 @@ def item_sharded(x, mesh: Optional[Mesh]):
     the model mesh axis keeps each chip's slice at n_items/S and lets XLA
     run the denoiser's in-projection as local partial products + psum and
     the out-projection fully locally (weights sharded by
-    ``shard_model_params``). No-op off-mesh or when the width doesn't split.
+    ``shard_model_params``). No-op off-mesh.
+
+    The real catalogs are NOT multiples of the axis (elec n_items = 63001 =
+    251²); ``with_sharding_constraint`` accepts uneven dims inside jit
+    (GSPMD pads the last shard), so no divisibility gate here — only
+    host-side ``device_put`` placements need even splits.
     """
     if mesh is None:
         return x
     S = mesh.shape[MODEL_AXIS]
-    if S <= 1 or x.shape[-1] % S != 0:
+    if S <= 1:
         return x
     spec = P(*([None] * (x.ndim - 1)), MODEL_AXIS)
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
@@ -148,8 +153,15 @@ def sharded_topk(scores, k: int, mesh: Mesh):
 
     S = model_axis_size(mesh)
     n = scores.shape[-1]
-    if S <= 1 or n % S != 0 or (n // S) < k:
+    if S <= 1 or (n // S) < k:
         return jax.lax.top_k(scores, k)
+    if n % S != 0:
+        # real catalogs are not axis multiples (elec 63001 = 251²): pad with
+        # -inf columns so shard_map sees even shards; padded slots can never
+        # win the local top-k (k ≤ n//S real columns per shard)
+        n_pad = pad_to_multiple(n, S)
+        scores = jnp.pad(scores, ((0, 0), (0, n_pad - n)), constant_values=-jnp.inf)
+        n = n_pad
 
     scores = jax.lax.with_sharding_constraint(
         scores, NamedSharding(mesh, P(None, MODEL_AXIS))

@@ -126,6 +126,95 @@ def test_diffusion_item_sharding_placement():
     assert item_sharded(x, None) is x
 
 
+def test_item_sharding_at_real_elec_width():
+    """VERDICT r3 #7: the (B, n_items) denoiser activations must actually
+    partition over ``model`` AT THE REAL WIDTH — elec n_items = 63001 = 251²
+    is NOT a multiple of any axis size, so this pins the uneven-sharding
+    path (GSPMD pads the last shard) for the GenRecV1/DiffRec flip/DDPM
+    vectors, not just a divisible toy width."""
+    from jax.sharding import Mesh
+
+    from genmmrec_tpu.parallel.mesh import item_sharded, sharded_topk
+
+    n_items = 63001
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "model"))
+
+    seen = {}
+
+    def record(name):
+        def cb(sharding):
+            seen[name] = str(sharding.spec)
+
+        return cb
+
+    @jax.jit
+    def denoiser_like(x, w):
+        x = item_sharded(x, mesh)
+        jax.debug.inspect_array_sharding(x, callback=record("x"))
+        h = x @ w  # in-projection: local partial products + psum
+        logits = h @ w.T  # out-projection back to catalog width
+        logits = item_sharded(logits, mesh)
+        jax.debug.inspect_array_sharding(logits, callback=record("logits"))
+        return logits
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, n_items)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(n_items, 16)).astype(np.float32) * 0.01)
+    out = denoiser_like(x, w)
+    assert out.shape == (8, n_items)
+    assert "model" in seen["x"], seen
+    assert "model" in seen["logits"], seen
+
+    # sharded eval top-k at the same uneven width merges to the exact result
+    v_ref, i_ref = jax.lax.top_k(x, 20)
+    v_sh, i_sh = jax.jit(lambda s: sharded_topk(s, 20, mesh))(x)
+    np.testing.assert_allclose(np.asarray(v_ref), np.asarray(v_sh), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_sh))
+
+
+def test_genrecv1_flip_phase_item_sharded():
+    """The GenRecV1 flip-diffusion q_sample→denoise→p_sample chain keeps its
+    (B, n_items) tensors partitioned over ``model`` when constrained by the
+    trainer's user_vectors hook (diffusion_trainers.py)."""
+    from jax.sharding import Mesh
+
+    from genmmrec_tpu.models.diffusion import flip as flipd
+    from genmmrec_tpu.models.modal_denoise import (
+        apply_modal_denoise,
+        init_modal_denoise,
+    )
+    from genmmrec_tpu.parallel.mesh import item_sharded
+
+    n_items = 1251  # odd width: uneven shards over model=4
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "model"))
+    dn = init_modal_denoise(jax.random.PRNGKey(0), n_items, n_items, 10, 2, 2)
+
+    seen = {}
+
+    @jax.jit
+    def phase(x, key):
+        x = item_sharded(x, mesh)
+        k_q, k_p = jax.random.split(key)
+        t = jnp.zeros((x.shape[0],), jnp.int32)
+        x_t = item_sharded(flipd.q_sample(k_q, x, t, 5), mesh)
+        jax.debug.inspect_array_sharding(
+            x_t, callback=lambda s: seen.setdefault("x_t", str(s.spec))
+        )
+        logits = item_sharded(apply_modal_denoise(dn, x_t, t), mesh)
+        jax.debug.inspect_array_sharding(
+            logits, callback=lambda s: seen.setdefault("logits", str(s.spec))
+        )
+        return logits.sum()
+
+    x = (jax.random.uniform(jax.random.PRNGKey(1), (8, n_items)) < 0.01).astype(
+        jnp.float32
+    )
+    out = phase(x, jax.random.PRNGKey(2))
+    assert np.isfinite(float(out))
+    assert "model" in seen["x_t"], seen
+    assert "model" in seen["logits"], seen
+
+
 def test_sharded_topk_matches_plain():
     from genmmrec_tpu.parallel.mesh import build_mesh, sharded_topk
 
