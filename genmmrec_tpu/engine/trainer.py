@@ -524,7 +524,18 @@ class Trainer:
             )
 
         self._eval_fn = self._build_eval_fn()
-        pre_epoch = jax.jit(self.model.pre_epoch)
+
+        # bind large model buffers as jit ARGUMENTS here too: a bare
+        # jit(model.pre_epoch) embeds v_feat/t_feat closures as program
+        # constants, which blew the remote-compile size limit for MCDRec's
+        # DGD resampling at sports scale (HTTP 413, zoo_sweep_sports_r3)
+        @jax.jit
+        def pre_epoch_impl(params, state, key, epoch, buffers):
+            with self.model.bound(buffers):
+                return self.model.pre_epoch(params, state, key, epoch)
+
+        def pre_epoch(params, state, key, epoch):
+            return pre_epoch_impl(params, state, key, epoch, self.model.buffers())
 
         if verbose:
             self.logger.info(self.model.describe(params))

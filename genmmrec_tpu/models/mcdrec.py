@@ -116,6 +116,13 @@ class MCDRec(RecModel):
             beta_fixed=False,
         )
 
+    # edge layout arrays ride as jit arguments alongside v_feat/t_feat —
+    # closure constants inflate the remote-compile payload (see
+    # RecModel.buffer_names)
+    buffer_names = RecModel.buffer_names + (
+        "edge_users", "edge_items", "_perm", "adj_rows", "adj_cols",
+    )
+
     # ------------------------------------------------------------------
     def init_params(self, key):
         ks = jax.random.split(key, 10)
