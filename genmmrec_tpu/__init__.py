@@ -29,6 +29,12 @@ def _enable_compilation_cache():
 
     if os.environ.get("GENMMREC_NO_CACHE"):
         return
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        # XLA:CPU AOT cache entries bake host machine features; this VM's
+        # CPU microarch changes across resets (observed +prefer-no-scatter
+        # mismatch warnings with SIGILL risk). CPU runs (the test lane) are
+        # fast to compile anyway — skip the persistent cache there.
+        return
     try:
         import jax
 

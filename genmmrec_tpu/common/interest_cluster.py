@@ -162,7 +162,10 @@ class MultimodalCluster:
         device."""
         distortions = []
         for i in range(self.k_min, min(self.k_max, feats.shape[0]), self.stride):
-            _, inertia = kmeans_fit(feats, i, n_init=3, seed=self.seed)
+            # n_init=10 matches sklearn's default; fewer restarts leave
+            # enough inertia noise in the flat tail to flip the brittle
+            # second-difference argmin the reference rule uses
+            _, inertia = kmeans_fit(feats, i, n_init=10, seed=self.seed)
             distortions.append(inertia)
         diff2 = np.diff(np.diff(distortions))
         return int(np.argmin(diff2)) + self.k_min + 1

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import optax
 
 from genmmrec_tpu.engine.trainer import Trainer
+from genmmrec_tpu.ops.topk import grouped_topk
 from genmmrec_tpu.parallel.mesh import item_sharded
 
 
@@ -114,7 +115,7 @@ class DiffMMTrainer(Trainer):
                         denoised = item_sharded(
                             model.p_sample_users(dn_params, x_start), mesh
                         )
-                        _, idx = jax.lax.top_k(denoised, model.rebuild_k)
+                        _, idx = grouped_topk(denoised, model.rebuild_k)
                         return idx
 
                     return jax.lax.map(one, users).reshape(U_pad, model.rebuild_k)[:U]
@@ -275,7 +276,7 @@ class GenRecV1Trainer(Trainer):
                 blended, probs = model.generate(params["denoise_image"], x_start, kg)
                 if debias_tables is not None:
                     blended = _debias(kd, u_c, x_start, blended)
-                _, idx = jax.lax.top_k(blended * probs, model.rebuild_k)
+                _, idx = grouped_topk(blended * probs, model.rebuild_k)
                 return idx
 
             def _debias(kd, u, x_start, blended):
@@ -506,7 +507,7 @@ class MVDiffTrainer(Trainer):
             def txt_topk(u):
                 x = user_vectors(jnp.minimum(u, U - 1))
                 den = model.sparsity_p_sample(params["denoise_text"], x)
-                _, idx = jax.lax.top_k(den, rk)
+                _, idx = grouped_topk(den, rk)
                 return idx
 
             img_items = jax.lax.map(img_topk, users).reshape(U_pad, hk)[:U]

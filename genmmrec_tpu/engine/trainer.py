@@ -40,6 +40,7 @@ import optax
 
 from genmmrec_tpu.data.arrays import EvalData, TrainData, sample_negatives
 from genmmrec_tpu.engine.evaluator import TopKEvaluator
+from genmmrec_tpu.ops.topk import grouped_topk
 from genmmrec_tpu.parallel.mesh import (
     MODEL_AXIS,
     build_mesh,
@@ -407,7 +408,9 @@ class Trainer:
                     if topk_mesh is not None:
                         _, topk = sharded_topk(scores, k_eff, topk_mesh)
                     else:
-                        _, topk = jax.lax.top_k(scores, k_eff)
+                        # exact two-stage top-k (ops/topk.py): lax.top_k's
+                        # full-row sort dominated eval at catalog widths
+                        _, topk = grouped_topk(scores, k_eff)
                     if k_eff < max_k:  # tiny catalogs: pad with -1 (no item)
                         topk = jnp.pad(
                             topk, ((0, 0), (0, max_k - k_eff)), constant_values=-1

@@ -27,6 +27,7 @@ import numpy as np
 from genmmrec_tpu.common.init import xavier_uniform
 from genmmrec_tpu.models.base import RecModel, scalar
 from genmmrec_tpu.models.diffusion import flip as flipd
+from genmmrec_tpu.ops.topk import grouped_topk
 from genmmrec_tpu.models.modal_denoise import apply_modal_denoise, init_modal_denoise
 from genmmrec_tpu.ops.graph import (
     SparseGraph,
@@ -348,7 +349,7 @@ class GenRecV1(RecModel):
             key, self.denoise_fn(dn_params), x_start, self.steps, self.sampling_steps,
             self.flip_temp, self.bayesian,
         )
-        _, idx = jax.lax.top_k(probs, min(self.gen_topk, self.n_items))
+        _, idx = grouped_topk(probs, min(self.gen_topk, self.n_items))
         mask = jnp.zeros_like(probs, dtype=bool)
         mask = mask.at[jnp.arange(x_start.shape[0])[:, None], idx].set(True)
         blended = jnp.where(mask, denoised, x_start)

@@ -168,7 +168,9 @@ def sharded_topk(scores, k: int, mesh: Mesh):
     )
 
     def local_topk(s):
-        v, i = jax.lax.top_k(s, k)
+        from genmmrec_tpu.ops.topk import grouped_topk
+
+        v, i = grouped_topk(s, k)  # exact; avoids full-row sort per shard
         offset = jax.lax.axis_index(MODEL_AXIS) * (n // S)
         return v, i + offset
 

@@ -35,6 +35,13 @@ def enable_compilation_cache():
     torch-CPU). Safe no-op where the backend doesn't support it."""
     import jax
 
+    if os.environ.get("GENMMREC_NO_CACHE") or "cpu" in os.environ.get(
+        "JAX_PLATFORMS", ""
+    ):
+        # XLA:CPU AOT entries bake host machine features; this VM's CPU
+        # microarch changes across resets (SIGILL risk on stale entries).
+        # CPU compiles are fast — skip the persistent cache on CPU.
+        return
     try:
         cache_dir = os.environ.get(
             "GENMMREC_JAX_CACHE",

@@ -98,6 +98,13 @@ def main():
         same = np.mean(np.asarray(out[1]) == ref_i)
         print(f"tiled exact T={T}:          {t*1e3:8.1f} ms  match={same:.4f}")
 
+    # grouped exact two-stage (ops/topk.py — the production candidate)
+    from genmmrec_tpu.ops.topk import grouped_topk
+
+    t, out = timed(lambda a, b, m: grouped_topk(gemm_mask(a, b, m), K), u, it, packed)
+    same = np.mean(np.asarray(out[1]) == ref_i)
+    print(f"gemm + mask + grouped_topk:{t*1e3:8.1f} ms  match={same:.4f}")
+
     # approx with oversampling + exact merge of survivors
     for mult in (4, 8):
         def over(a, b, m, mult=mult):

@@ -61,34 +61,63 @@ def test_kmeans_fit_matches_sklearn_inertia():
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree not mounted")
 def test_auto_k_matches_reference_rule():
-    """Same k chosen on a fixture as the reference implementation
-    (`src/common/interest_cluster.py:82-105`)."""
-    from genmmrec_tpu.common.interest_cluster import MultimodalCluster
+    """Same k chosen as the reference implementation
+    (`src/common/interest_cluster.py:82-105`) when both select over the SAME
+    inertia curve. The reference calls sklearn ``KMeans(n_clusters=i)`` with
+    no random_state, so its end-to-end answer is nondeterministic run to run
+    (observed 7 then 3 on one fixture); the PARITY contract is the selection
+    rule, so the reference's KMeans is patched here to return our device
+    k-means' (deterministic, seeded) inertia for each k."""
+    from genmmrec_tpu.common.interest_cluster import (
+        MultimodalCluster,
+        kmeans_fit,
+    )
 
     x, _ = _blobs(n_per=40, k=4, d=8, seed=7)
-    ours = MultimodalCluster(
+    ours_cluster = MultimodalCluster(
         use_auto_optimal_k=True,
         kmeans_cluster_num_min=2,
         kmeans_cluster_num_max=9,
         kmeans_stride=1,
-    ).get_kmeans_cluster_optimal_num(x)
+    )
+    ours = ours_cluster.get_kmeans_cluster_optimal_num(x)
+
+    # the deterministic inertia curve our auto-k saw (same standardization
+    # path, same seeds)
+    inertia_by_k = {
+        k: float(kmeans_fit(x, k, n_init=10, seed=ours_cluster.seed)[1])
+        for k in range(2, 9)
+    }
 
     if REF not in sys.path:
         sys.path.insert(0, REF)
-    from common.interest_cluster import MultimodalCluster as RefCluster
+    import common.interest_cluster as ref_mod
 
-    ref = RefCluster(
-        num_cluster_visual_modal=4,
-        num_cluster_text_modal=4,
-        num_cluster_audio_modal=4,
-        num_cluster_fusion_modal=4,
-        kmeans_cluster_num=4,
-        spectral_cluster_num=4,
-        sim_top_k=5,
-        use_auto_optimal_k=True,
-        kmeans_cluster_num_min=2,
-        kmeans_cluster_num_mean=5,
-        kmeans_cluster_num_max=9,
-        kmeans_stride=1,
-    ).get_kmeans_cluster_optimal_num(x.astype(np.float64))
+    class _FixedKMeans:
+        def __init__(self, n_clusters):
+            self.n_clusters = n_clusters
+
+        def fit(self, _):
+            self.inertia_ = inertia_by_k[self.n_clusters]
+            return self
+
+    orig = ref_mod.KMeans
+    try:
+        ref_mod.KMeans = _FixedKMeans
+        ref = ref_mod.MultimodalCluster(
+            num_cluster_visual_modal=4,
+            num_cluster_text_modal=4,
+            num_cluster_audio_modal=4,
+            num_cluster_fusion_modal=4,
+            kmeans_cluster_num=4,
+            spectral_cluster_num=4,
+            sim_top_k=5,
+            use_auto_optimal_k=True,
+            kmeans_cluster_num_min=2,
+            kmeans_cluster_num_mean=5,
+            kmeans_cluster_num_max=9,
+            kmeans_stride=1,
+        ).get_kmeans_cluster_optimal_num(x.astype(np.float64))
+    finally:
+        ref_mod.KMeans = orig
     assert int(ours) == int(ref)

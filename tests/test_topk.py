@@ -1,0 +1,59 @@
+"""grouped_topk must be exactly lax.top_k on wide rows (modulo ties, which
+continuous random draws make measure-zero)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genmmrec_tpu.ops.topk import grouped_topk
+
+
+def test_grouped_topk_matches_lax_wide():
+    rng = np.random.default_rng(0)
+    s = jnp.asarray(rng.standard_normal((64, 63001)).astype(np.float32))
+    v_ref, i_ref = jax.lax.top_k(s, 50)
+    v, i = grouped_topk(s, 50)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref))
+
+
+def test_grouped_topk_with_mask_values():
+    # masked rows full of -1e10 plus a handful of real scores: the real
+    # scores must all surface, in order
+    rng = np.random.default_rng(1)
+    s = np.full((8, 40000), -1e10, np.float32)
+    for r in range(8):
+        cols = rng.choice(40000, size=200, replace=False)
+        s[r, cols] = rng.standard_normal(200).astype(np.float32)
+    v, i = grouped_topk(jnp.asarray(s), 50)
+    v_ref, i_ref = jax.lax.top_k(jnp.asarray(s), 50)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_grouped_topk_narrow_fallback():
+    rng = np.random.default_rng(2)
+    s = jnp.asarray(rng.standard_normal((4, 500)).astype(np.float32))
+    v, i = grouped_topk(s, 50)
+    v_ref, i_ref = jax.lax.top_k(s, 50)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_grouped_topk_non_multiple_width():
+    # width not a multiple of 128 exercises the -inf pad path
+    rng = np.random.default_rng(3)
+    s = jnp.asarray(rng.standard_normal((16, 63001)).astype(np.float32))
+    _, i = grouped_topk(s, 7)
+    _, i_ref = jax.lax.top_k(s, 7)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_grouped_topk_bf16():
+    rng = np.random.default_rng(4)
+    s32 = rng.standard_normal((8, 20000)).astype(np.float32)
+    s = jnp.asarray(s32).astype(jnp.bfloat16)
+    v, i = grouped_topk(s, 20)
+    v_ref, i_ref = jax.lax.top_k(s, 20)
+    # bf16 rounding creates real ties; compare the selected VALUE sets
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(v, np.float32)), np.sort(np.asarray(v_ref, np.float32))
+    )
