@@ -364,35 +364,67 @@ def fullsort_roofline(n_items=63001, d=64, B=4096, n_chunks=4, max_k=50):
     rng = np.random.default_rng(0)
     u_emb = jnp.asarray(rng.standard_normal((B * n_chunks, d), np.float32))
     i_emb = jnp.asarray(rng.standard_normal((n_items, d), np.float32))
-    mask = jnp.asarray(
-        rng.integers(0, n_items, (B * n_chunks, 30)).astype(np.int32)
-    )
+    # bit-packed train-positive mask, the production eval representation
+    # (engine/trainer.py _dense_mask): ~30 positives per user
+    mask_idx = rng.integers(0, n_items, (B * n_chunks, 30))
+    dense = np.zeros((B * n_chunks, n_items), bool)
+    dense[np.arange(B * n_chunks)[:, None], mask_idx] = True
+    mask = jnp.asarray(np.packbits(dense, axis=1, bitorder="little"))
 
-    def run(dtype):
+    def run(dtype, exact_grouped=True):
+        from genmmrec_tpu.ops.topk import grouped_topk
+
         ue = u_emb.astype(dtype)
         ie = i_emb.astype(dtype)
 
+        # the axon-attached chip dispatches asynchronously and its
+        # block_until_ready is not a reliable completion barrier (observed
+        # 45 µs "timings" for a 16k x 63k score+top-k program). Timing
+        # contract here: iterations are serialized through a scalar carry
+        # (each iteration's input depends on the previous output), the
+        # final value is read back to host, and dispatch+readback overhead
+        # is cancelled by differencing an n-iteration chain against a
+        # 1-iteration chain of the same executable.
         @jax.jit
-        def eval_chunks(ue, ie, mask):
+        def chained(acc):
+            # 1e-38 * acc is far below score magnitudes; it only forces
+            # the data dependence (XLA cannot fold x + tiny*acc)
+            up = ue + (acc * jnp.asarray(1e-38, jnp.float32)).astype(dtype)
+
             def one(args):
                 u, m = args
                 scores = u @ ie.T
-                rows = jnp.arange(u.shape[0])[:, None]
-                scores = scores.at[rows, m].set(-1e10, mode="drop")
-                _, topk = jax.lax.top_k(scores, max_k)
-                return topk
+                if exact_grouped:
+                    # the production eval path: bit-packed mask fused into
+                    # the grouped top-k fold (ops/topk.py)
+                    v, _ = grouped_topk(scores, max_k, packed_mask=m)
+                else:  # the pre-r4 path: masked plane + full-row lax.top_k
+                    bits = (
+                        m[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)
+                    ) & jnp.uint8(1)
+                    mb = bits.reshape(m.shape[0], -1)[:, :n_items] != 0
+                    scores = jnp.where(mb, jnp.asarray(-1e10, dtype), scores)
+                    v, _ = jax.lax.top_k(scores, max_k)
+                return v
 
-            uc = ue.reshape(n_chunks, B, d)
+            uc = up.reshape(n_chunks, B, d)
             mc = mask.reshape(n_chunks, B, -1)
-            return jax.lax.map(one, (uc, mc)).reshape(-1, max_k)
+            v = jax.lax.map(one, (uc, mc))
+            return acc + v.astype(jnp.float32).sum() * 1e-30
 
-        eval_chunks(ue, ie, mask).block_until_ready()  # compile
-        n = 5
-        t0 = time.time()
-        for _ in range(n):
-            out = eval_chunks(ue, ie, mask)
-        out.block_until_ready()
-        dt = (time.time() - t0) / n
+        def chain(n):
+            acc = jnp.float32(0.0)
+            t0 = time.time()
+            for _ in range(n):
+                acc = chained(acc)
+            np.asarray(acc)  # host readback: the only reliable barrier
+            return time.time() - t0
+
+        chain(1)  # compile + warm
+        n = 6
+        t1 = min(chain(1) for _ in range(2))
+        tn = min(chain(n) for _ in range(2))
+        dt = max(tn - t1, 1e-9) / (n - 1)
         esize = jnp.dtype(dtype).itemsize
         total_users = B * n_chunks
         # score write (GEMM) + score read (mask+top-k) + operand reads
@@ -412,6 +444,7 @@ def fullsort_roofline(n_items=63001, d=64, B=4096, n_chunks=4, max_k=50):
 
     f32 = run(np.float32)
     bf16 = run(jnp.bfloat16)
+    lax_bf16 = run(jnp.bfloat16, exact_grouped=False)
     return {
         "fullsort_elec_f32_s": f32["s"],
         "fullsort_elec_f32_frac_hbm_peak": f32["frac_hbm_peak"],
@@ -420,6 +453,8 @@ def fullsort_roofline(n_items=63001, d=64, B=4096, n_chunks=4, max_k=50):
         "fullsort_elec_bf16_users_per_s": bf16["users_per_s"],
         "fullsort_elec_bf16_frac_bf16_peak": bf16["frac_bf16_peak"],
         "fullsort_bf16_speedup": f32["s"] / bf16["s"],
+        "fullsort_elec_laxtopk_bf16_s": lax_bf16["s"],
+        "fullsort_grouped_topk_speedup": lax_bf16["s"] / bf16["s"],
     }
 
 

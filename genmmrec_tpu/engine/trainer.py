@@ -395,22 +395,32 @@ class Trainer:
                     else:
                         scores = model.scores(params, state, u)
                     if dense_mask:
-                        # precomputed bit-packed mask: unpack then elementwise
-                        bits = (
-                            m[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)
-                        ) & jnp.uint8(1)
-                        mask_bool = bits.reshape(m.shape[0], -1)[:, :n_items] != 0
-                        scores = jnp.where(mask_bool, -1e10, scores)
+                        if topk_mesh is None:
+                            # bit-packed mask fused into the grouped top-k's
+                            # fold pass (ops/topk.py) — the masked (B, n)
+                            # plane is never materialized
+                            _, topk = grouped_topk(
+                                scores, k_eff, packed_mask=m
+                            )
+                        else:
+                            bits = (
+                                m[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)
+                            ) & jnp.uint8(1)
+                            mask_bool = (
+                                bits.reshape(m.shape[0], -1)[:, :n_items] != 0
+                            )
+                            scores = jnp.where(mask_bool, -1e10, scores)
+                            _, topk = sharded_topk(scores, k_eff, topk_mesh)
                     else:
                         # scatter -inf over train positives; col n_items drops
                         rows = jnp.arange(u.shape[0])[:, None]
                         scores = scores.at[rows, m].set(-1e10, mode="drop")
-                    if topk_mesh is not None:
-                        _, topk = sharded_topk(scores, k_eff, topk_mesh)
-                    else:
-                        # exact two-stage top-k (ops/topk.py): lax.top_k's
-                        # full-row sort dominated eval at catalog widths
-                        _, topk = grouped_topk(scores, k_eff)
+                        if topk_mesh is not None:
+                            _, topk = sharded_topk(scores, k_eff, topk_mesh)
+                        else:
+                            # exact two-stage top-k: lax.top_k's full-row
+                            # sort dominated eval at catalog widths
+                            _, topk = grouped_topk(scores, k_eff)
                     if k_eff < max_k:  # tiny catalogs: pad with -1 (no item)
                         topk = jnp.pad(
                             topk, ((0, 0), (0, max_k - k_eff)), constant_values=-1
@@ -441,20 +451,31 @@ class Trainer:
             return cached
         U_pad = eval_data.users.shape[0]
         n_items = eval_data.n_items
-        if U_pad * n_items > self._DENSE_MASK_BUDGET:
+        # budget on the PACKED device footprint (uint8 bitmatrix, 8 items
+        # per byte): elec's 192k x 63k mask is 1.5 GB packed — well inside
+        # the budget that its 12 GB bool size used to fail
+        if U_pad * (-(-n_items // 8)) > self._DENSE_MASK_BUDGET:
             return None
         # host build: an XLA scatter would serialize over U_pad*max_train
         # updates (padding sentinels included — minutes at 100k users);
-        # numpy fancy-set over the real entries is O(nnz). The matrix ships
-        # BIT-PACKED (8x smaller host->device transfer on remote-attached
-        # TPUs) and is unpacked per chunk on device.
+        # numpy fancy-set over the real entries is O(nnz). Built in user
+        # slabs so the transient bool plane stays small (elec would need
+        # 12 GB host RAM in one piece), then shipped BIT-PACKED (8x smaller
+        # host->device transfer on remote-attached TPUs); the bits are
+        # consumed packed by ops/topk.py's fused masked top-k.
         m = np.asarray(eval_data.mask_items)
-        valid = (m < n_items).reshape(-1)
-        rows = np.repeat(np.arange(U_pad), m.shape[1])[valid]
-        cols = m.reshape(-1)[valid]
-        dense_np = np.zeros((U_pad, n_items), bool)
-        dense_np[rows, cols] = True
-        packed = jnp.asarray(np.packbits(dense_np, axis=1, bitorder="little"))
+        packed_np = np.empty((U_pad, -(-n_items // 8)), np.uint8)
+        slab = max(1, (256 << 20) // max(n_items, 1))  # ≤256 MB bool slab
+        for lo in range(0, U_pad, slab):
+            hi = min(lo + slab, U_pad)
+            ms = m[lo:hi]
+            valid = (ms < n_items).reshape(-1)
+            rows = np.repeat(np.arange(hi - lo), ms.shape[1])[valid]
+            cols = ms.reshape(-1)[valid]
+            dense_np = np.zeros((hi - lo, n_items), bool)
+            dense_np[rows, cols] = True
+            packed_np[lo:hi] = np.packbits(dense_np, axis=1, bitorder="little")
+        packed = jnp.asarray(packed_np)
         self._mask_cache[key] = packed
         return packed
 

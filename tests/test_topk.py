@@ -47,6 +47,35 @@ def test_grouped_topk_non_multiple_width():
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
 
 
+def test_grouped_topk_packed_mask():
+    # fused bit-packed mask must equal mask-then-topk exactly
+    rng = np.random.default_rng(5)
+    B, N, K = 16, 63001, 50
+    s = rng.standard_normal((B, N)).astype(np.float32)
+    dense = np.zeros((B, N), bool)
+    for r in range(B):
+        dense[r, rng.choice(N, size=200, replace=False)] = True
+    packed = jnp.asarray(np.packbits(dense, axis=1, bitorder="little"))
+    v, i = grouped_topk(jnp.asarray(s), K, packed_mask=packed)
+    ref_scores = np.where(dense, -np.inf, s)
+    v_ref, i_ref = jax.lax.top_k(jnp.asarray(ref_scores), K)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref))
+
+
+def test_grouped_topk_packed_mask_narrow():
+    rng = np.random.default_rng(6)
+    B, N, K = 4, 900, 20
+    s = rng.standard_normal((B, N)).astype(np.float32)
+    dense = np.zeros((B, N), bool)
+    for r in range(B):
+        dense[r, rng.choice(N, size=30, replace=False)] = True
+    packed = jnp.asarray(np.packbits(dense, axis=1, bitorder="little"))
+    _, i = grouped_topk(jnp.asarray(s), K, packed_mask=packed)
+    _, i_ref = jax.lax.top_k(jnp.asarray(np.where(dense, -np.inf, s)), K)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
 def test_grouped_topk_bf16():
     rng = np.random.default_rng(4)
     s32 = rng.standard_normal((8, 20000)).astype(np.float32)
