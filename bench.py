@@ -365,17 +365,22 @@ def fullsort_roofline(n_items=63001, d=64, B=4096, n_chunks=4, max_k=50):
     u_emb = jnp.asarray(rng.standard_normal((B * n_chunks, d), np.float32))
     i_emb = jnp.asarray(rng.standard_normal((n_items, d), np.float32))
     # bit-packed train-positive mask, the production eval representation
-    # (engine/trainer.py _dense_mask): ~30 positives per user
+    # (engine/trainer.py _dense_mask): ~30 positives per user, pad columns
+    # (to the 128-lane group boundary) marked masked; the item table is
+    # zero-padded once, mirroring the trainer's padfree GEMM-form eval
+    n_pad = -(-n_items // 128) * 128
     mask_idx = rng.integers(0, n_items, (B * n_chunks, 30))
-    dense = np.zeros((B * n_chunks, n_items), bool)
+    dense = np.zeros((B * n_chunks, n_pad), bool)
+    dense[:, n_items:] = True
     dense[np.arange(B * n_chunks)[:, None], mask_idx] = True
     mask = jnp.asarray(np.packbits(dense, axis=1, bitorder="little"))
+    i_emb_pad = jnp.pad(i_emb, ((0, n_pad - n_items), (0, 0)))
 
     def run(dtype, exact_grouped=True):
         from genmmrec_tpu.ops.topk import grouped_topk
 
         ue = u_emb.astype(dtype)
-        ie = i_emb.astype(dtype)
+        ie = (i_emb_pad if exact_grouped else i_emb).astype(dtype)
 
         # the axon-attached chip dispatches asynchronously and its
         # block_until_ready is not a reliable completion barrier (observed

@@ -380,6 +380,18 @@ class Trainer:
             type(model).eval_artifacts is not _Base.eval_artifacts
             or type(model).full_embeddings is not _Base.full_embeddings
         )
+        # GEMM-form eval (base scores_cached = u_emb @ i_emb.T): the item
+        # matrix can be zero-padded ONCE to the 128-lane group boundary so
+        # grouped_topk skips its per-chunk jnp.pad of the (B, n_items)
+        # score plane — a full extra copy, measured ~13 ms/16k users at
+        # elec width. The dense bit-mask covers the pad columns (bits set
+        # by _dense_mask), so only that path may see padded scores.
+        gemm_form = (
+            has_cache and type(model).scores_cached is _Base.scores_cached
+        )
+        from genmmrec_tpu.ops.topk import _GROUP as _TKG
+
+        n_items_pad = -(-n_items // _TKG) * _TKG
 
         @partial(jax.jit, static_argnames=("n_chunks", "dense_mask"))
         def eval_topk_impl(params, state, users, mask_items, buffers, n_chunks, dense_mask=False):
@@ -387,6 +399,21 @@ class Trainer:
                 users_c = users.reshape(n_chunks, B)
                 mask_c = mask_items.reshape(n_chunks, B, -1)
                 arts = model.eval_artifacts(params, state) if has_cache else None
+                padfree = (
+                    dense_mask
+                    and topk_mesh is None
+                    and gemm_form
+                    and isinstance(arts, tuple)
+                    and len(arts) == 2
+                    and hasattr(arts[1], "shape")
+                    and arts[1].shape[0] == n_items
+                    and n_items_pad != n_items
+                )
+                if padfree:
+                    arts = (
+                        arts[0],
+                        jnp.pad(arts[1], ((0, n_items_pad - n_items), (0, 0))),
+                    )
 
                 def one(args):
                     u, m = args
@@ -464,15 +491,20 @@ class Trainer:
         # host->device transfer on remote-attached TPUs); the bits are
         # consumed packed by ops/topk.py's fused masked top-k.
         m = np.asarray(eval_data.mask_items)
-        packed_np = np.empty((U_pad, -(-n_items // 8)), np.uint8)
-        slab = max(1, (256 << 20) // max(n_items, 1))  # ≤256 MB bool slab
+        # width = the 128-lane group boundary, pad columns marked MASKED:
+        # the padfree eval path scores a zero-padded item table, whose pad
+        # columns produce 0.0 scores that must never reach the top-k
+        n_pad = -(-n_items // 128) * 128
+        packed_np = np.empty((U_pad, n_pad // 8), np.uint8)
+        slab = max(1, (256 << 20) // max(n_pad, 1))  # ≤256 MB bool slab
         for lo in range(0, U_pad, slab):
             hi = min(lo + slab, U_pad)
             ms = m[lo:hi]
             valid = (ms < n_items).reshape(-1)
             rows = np.repeat(np.arange(hi - lo), ms.shape[1])[valid]
             cols = ms.reshape(-1)[valid]
-            dense_np = np.zeros((hi - lo, n_items), bool)
+            dense_np = np.zeros((hi - lo, n_pad), bool)
+            dense_np[:, n_items:] = True
             dense_np[rows, cols] = True
             packed_np[lo:hi] = np.packbits(dense_np, axis=1, bitorder="little")
         packed = jnp.asarray(packed_np)

@@ -76,6 +76,28 @@ def test_grouped_topk_packed_mask_narrow():
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
 
 
+def test_candidate_extract_pallas_interpret():
+    # the Pallas candidate kernel (interpret mode on CPU) must match the
+    # XLA gather+top_k stage exactly
+    from genmmrec_tpu.ops.topk import _candidate_extract_pallas
+
+    rng = np.random.default_rng(7)
+    b, g, group, k = 48, 493, 128, 50
+    sm3 = jnp.asarray(rng.standard_normal((b, g, group)).astype(np.float32))
+    gmax = sm3.max(-1)
+    _, gidx = jax.lax.top_k(gmax, k)
+
+    v, i = _candidate_extract_pallas(sm3, gidx, k, group, interpret=True)
+
+    cand = jnp.take_along_axis(sm3, gidx[:, :, None], axis=1)
+    cand_idx = gidx[:, :, None] * group + jnp.arange(group, dtype=gidx.dtype)
+    v_ref, pos = jax.lax.top_k(cand.reshape(b, k * group), k)
+    i_ref = jnp.take_along_axis(cand_idx.reshape(b, k * group), pos, axis=1)
+
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref))
+
+
 def test_grouped_topk_bf16():
     rng = np.random.default_rng(4)
     s32 = rng.standard_normal((8, 20000)).astype(np.float32)
