@@ -117,58 +117,45 @@ def reference_measured(model: str, dataset: str):
     exists."""
     import re
 
-    ref_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ref_runs")
-    # untagged run dir first, then tagged variants of the same model+dataset
-    # (e.g. GenRecV1-baby-ep60) — same package, same host, same data, so
-    # their per-epoch timers are equally valid "measured" sources.
-    candidates = [os.path.join(ref_root, f"{model}-{dataset}")]
-    prefix = f"{model}-{dataset}-"
-    if os.path.isdir(ref_root):
-        candidates += sorted(
-            os.path.join(ref_root, d)
-            for d in os.listdir(ref_root)
-            if d.startswith(prefix) and os.path.isdir(os.path.join(ref_root, d))
-        )
-    logs = []
-    for run_dir in candidates:
-        logdir = os.path.join(run_dir, "log")
-        if os.path.isdir(logdir):
-            found = sorted(
-                (os.path.join(logdir, f) for f in os.listdir(logdir)),
-                key=os.path.getmtime,
-            )
-            if found:
-                logs = found
-                break  # untagged dir wins; tagged dirs are the fallback
-    if not logs:
-        # log/ dirs are gitignored and die with VM resets; the committed
-        # <run_dir>.out stdout captures carry the same reference logger
-        # lines (run_reference.py redirects the console handler there), so
-        # fall back to whichever .out has the most steady-state epochs.
-        import glob as _glob
-        import re as _re
+    import glob as _glob
 
-        # Glob captures directly — the run *directories* die with VM
-        # resets, but the committed .out files survive, so don't derive
-        # capture paths from directories that may no longer exist.
-        untagged = os.path.join(ref_root, f"{model}-{dataset}.out")
-        capture_paths = sorted(
-            set(_glob.glob(os.path.join(ref_root, f"{model}-{dataset}*.out")))
-        )
-        best, best_key = None, (0, 0)
-        for path in capture_paths:
-            text_ = open(path).read()
-            n_train = len(_re.findall(r"training \[time: ", text_))
-            n_eval = len(_re.findall(r"evaluating \[time: ", text_))
-            if n_train < 2 or n_eval < 1:
-                continue  # unusable: reference_measured needs both timers
-            key = (n_train, 1 if path == untagged else 0)
-            if key > best_key:
-                best, best_key = path, key
-        if best is None:
-            return None
-        logs = [best]
-    text = open(logs[-1]).read()
+    ref_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ref_runs")
+    # Candidate sources: newest log file inside every <model>-<dataset>*
+    # run dir (live runs), plus every committed <model>-<dataset>*.out
+    # stdout capture (log/ dirs are gitignored and die with VM resets; the
+    # .out files carry the same reference logger lines). All are the same
+    # package on the same host reading the same data, so their per-epoch
+    # timers are equally valid "measured" sources — pick whichever capture
+    # has the most usable steady-state epochs (a run dir holding a
+    # killed-at-epoch-0 log must NOT shadow a 35-epoch .out capture).
+    candidate_paths = []
+    for pat in (f"{model}-{dataset}", f"{model}-{dataset}-*"):
+        for run_dir in sorted(_glob.glob(os.path.join(ref_root, pat))):
+            logdir = os.path.join(run_dir, "log")
+            if os.path.isdir(logdir):
+                found = sorted(
+                    (os.path.join(logdir, f) for f in os.listdir(logdir)),
+                    key=os.path.getmtime,
+                )
+                if found:
+                    candidate_paths.append(found[-1])
+    untagged = os.path.join(ref_root, f"{model}-{dataset}.out")
+    candidate_paths += sorted(
+        set(_glob.glob(os.path.join(ref_root, f"{model}-{dataset}*.out")))
+    )
+    best, best_key = None, (0, 0)
+    for path in candidate_paths:
+        text_ = open(path).read()
+        n_train = len(re.findall(r"training \[time: ", text_))
+        n_eval = len(re.findall(r"evaluating \[time: ", text_))
+        if n_train < 2 or n_eval < 1:
+            continue  # unusable: reference_measured needs both timers
+        key = (n_train, 1 if path == untagged else 0)
+        if key > best_key:
+            best, best_key = path, key
+    if best is None:
+        return None
+    text = open(best).read()
     train_t = [float(x) for x in re.findall(r"training \[time: ([0-9.]+)s", text)]
     eval_t = [float(x) for x in re.findall(r"evaluating \[time: ([0-9.]+)s", text)]
     if len(train_t) < 2 or not eval_t:
@@ -178,7 +165,7 @@ def reference_measured(model: str, dataset: str):
     t_train = float(np.mean(train_t[1:]))
     t_eval = float(np.mean(eval_t[1:])) if len(eval_t) > 1 else float(eval_t[0])
     return {"epoch_s": t_train, "eval_s": t_eval, "epochs_seen": len(train_t),
-            "log": logs[-1]}
+            "log": best}
 
 
 def reference_torch_cpu_estimate(stats, sample_batches: int = 2) -> float:

@@ -491,10 +491,14 @@ class Trainer:
         # host->device transfer on remote-attached TPUs); the bits are
         # consumed packed by ops/topk.py's fused masked top-k.
         m = np.asarray(eval_data.mask_items)
-        # width = the 128-lane group boundary, pad columns marked MASKED:
-        # the padfree eval path scores a zero-padded item table, whose pad
-        # columns produce 0.0 scores that must never reach the top-k
-        n_pad = -(-n_items // 128) * 128
+        # width = the top-k group boundary (the SAME _GROUP constant the
+        # padfree eval path pads the item table to — engine/trainer.py
+        # _TKG import), pad columns marked MASKED: the padfree eval path
+        # scores a zero-padded item table, whose pad columns produce 0.0
+        # scores that must never reach the top-k
+        from genmmrec_tpu.ops.topk import _GROUP as _TKG
+
+        n_pad = -(-n_items // _TKG) * _TKG
         packed_np = np.empty((U_pad, n_pad // 8), np.uint8)
         slab = max(1, (256 << 20) // max(n_pad, 1))  # ≤256 MB bool slab
         for lo in range(0, U_pad, slab):

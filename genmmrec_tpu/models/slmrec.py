@@ -163,6 +163,17 @@ class SLMRec(RecModel):
             _l2n(i1), _l2n(i2), self.ssl_temp, weights
         )
 
+    @staticmethod
+    def _fm_draw(key, R):
+        """Draw two DISTINCT modality indices in [0, R) — the FM task's
+        masked-view selection (reference slmrec.py:200-204). Factored out
+        so tests can pin the distinctness invariant directly."""
+        k_sel1, k_sel2 = jax.random.split(key)
+        idx1 = jax.random.randint(k_sel1, (), 0, R)
+        idx2 = jax.random.randint(k_sel2, (), 0, R - 1)
+        idx2 = idx2 + (idx2 >= idx1).astype(idx2.dtype)  # distinct draw
+        return idx1, idx2
+
     def _fm(self, params, key, users, items, weights, use_dropout):
         """Feature Masking (reference `feature_masking`, slmrec.py:192-267):
         draw two DISTINCT modality indices; view k zeroes the item-side
@@ -182,10 +193,7 @@ class SLMRec(RecModel):
         mask_id = [2, 0, 1]  # id ↔ last mask index, like the reference's 3
         R = len(towers)
         k_sel, k_d = jax.random.split(key)
-        k_sel1, k_sel2 = jax.random.split(k_sel)
-        idx1 = jax.random.randint(k_sel1, (), 0, R)
-        idx2 = jax.random.randint(k_sel2, (), 0, R - 1)
-        idx2 = idx2 + (idx2 >= idx1).astype(idx2.dtype)  # distinct draw
+        idx1, idx2 = self._fm_draw(k_sel, R)
 
         reps1, reps2 = [], []
         for j, i_emb in enumerate(towers):

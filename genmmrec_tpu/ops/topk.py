@@ -29,11 +29,6 @@ from jax.experimental import pallas as pl
 
 _GROUP = 128  # one VREG lane row; keeps the fold pass layout-native
 
-_NEG = {
-    jnp.dtype(jnp.bfloat16): jnp.asarray(-jnp.inf, jnp.bfloat16),
-    jnp.dtype(jnp.float32): jnp.asarray(-jnp.inf, jnp.float32),
-}
-
 
 def _extract_kernel(gidx_ref, s3_ref, v_ref, i_ref, *, k: int, kp: int, group: int):
     """Per row-block: gather the ``kp`` candidate groups by a one-hot MXU
@@ -211,6 +206,13 @@ def grouped_topk(
     equal scores may differ — float scores, so measure-zero in practice).
     Falls back to ``lax.top_k`` when the row is too narrow to benefit.
 
+    Value contract on masked/padded entries: on the TPU path they surface
+    as ``finfo(dtype).min`` (the in-kernel sentinel — 0 * -inf would be
+    NaN in the one-hot MXU gather), not the -inf that ``lax.top_k`` over a
+    ``where(mask, -inf, x)`` plane would return. Rows with fewer than k
+    unmasked entries therefore pad the value tail with ``finfo.min``;
+    indices are unaffected (all production callers consume indices only).
+
     ``packed_mask`` is an optional (b, ceil(n/8)) uint8 bit-matrix
     (little-endian, numpy ``packbits(axis=1, bitorder='little')``) marking
     positions to exclude (train positives in full-sort eval). Fusing the
@@ -237,7 +239,9 @@ def grouped_topk(
 
     import os
 
-    on_tpu = jax.default_backend() != "cpu"
+    # the Pallas/MXU-gather paths are Mosaic-TPU programs; any other
+    # backend (cpu, gpu) takes the take_along_axis route
+    on_tpu = jax.default_backend() == "tpu"
     # the Pallas candidate-extract kernel is exact and validated, but its
     # 50 sequential in-VMEM extraction reduces are latency-bound (measured
     # 41-46 ms/16k users vs 30-35 for the XLA one-hot + lax.top_k stage it

@@ -32,7 +32,10 @@ def build_mesh(config=None, devices=None) -> Mesh:
     """Build the device mesh from ``config['mesh_shape']``.
 
     ``mesh_shape`` is a mapping like ``{data: 4, model: 2}``; ``null`` puts
-    every visible device on the data axis.
+    every visible device on the data axis. A shape covering FEWER devices
+    than visible is honored on the first d*m devices — {data:1, model:1}
+    is the explicit single-device baseline mesh (used by the multichip
+    dryrun's control leg), not an error.
     """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
@@ -40,8 +43,9 @@ def build_mesh(config=None, devices=None) -> Mesh:
     if shape:
         d = int(shape.get(DATA_AXIS, 1))
         m = int(shape.get(MODEL_AXIS, 1))
-        if d * m != n:
-            raise ValueError(f"mesh_shape {shape} does not match {n} devices")
+        if d * m > n:
+            raise ValueError(f"mesh_shape {shape} exceeds {n} devices")
+        devices = list(devices)[: d * m]
     else:
         d, m = n, 1
     dev_array = np.asarray(devices).reshape(d, m)

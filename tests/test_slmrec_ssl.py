@@ -60,10 +60,25 @@ def test_fm_runs_and_differs_from_fd(slmrec_setup):
 
 
 def test_fm_masks_exactly_two_distinct_modalities(slmrec_setup):
-    """FM without dropout is deterministic given the key; a masked id tower
-    changes the loss vs no masking at all (sanity that masking is wired)."""
+    """The FM view-selection draw yields two DISTINCT modality indices for
+    every key (reference slmrec.py:200-204: random.sample of 2 without
+    replacement), covering all ordered pairs; plus per-key determinism of
+    the resulting loss."""
     model, params, batch = slmrec_setup
     u, p, w = batch["users"], batch["pos"], batch["weight"]
+    R = 3  # [id, v, t] towers on this dataset
+    draws = [
+        tuple(
+            int(x)
+            for x in jax.device_get(model._fm_draw(jax.random.PRNGKey(s), R))
+        )
+        for s in range(200)
+    ]
+    assert all(a != b for a, b in draws), "FM drew a repeated modality"
+    assert all(0 <= a < R and 0 <= b < R for a, b in draws)
+    # 200 draws over 6 ordered pairs: all pairs reachable
+    assert len(set(draws)) == R * (R - 1)
+
     model.compute(params)
     l1 = float(model._fm(params, jax.random.PRNGKey(1), u, p, w, False))
     l1_again = float(model._fm(params, jax.random.PRNGKey(1), u, p, w, False))
