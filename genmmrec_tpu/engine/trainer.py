@@ -114,6 +114,11 @@ class Trainer:
         self.best_valid_result = init_metrics
         self.best_test_upon_valid = init_metrics
         self.train_loss_dict = {}
+        # wall-clock per training epoch (incl. any diffusion prelude), in
+        # fit order — lets harnesses separate steady-state epoch time from
+        # the first compile-heavy epoch (reference logs per-epoch time only
+        # as text, src/common/trainer.py:230-236)
+        self.epoch_times: list[float] = []
         self.evaluator = TopKEvaluator(config)
 
         try:
@@ -637,6 +642,7 @@ class Trainer:
                 sum(train_loss) if isinstance(train_loss, tuple) else train_loss
             )
             t1 = time()
+            self.epoch_times.append(t1 - t0)
             if verbose:
                 if isinstance(train_loss, tuple):
                     loss_str = ", ".join(

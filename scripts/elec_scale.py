@@ -216,6 +216,15 @@ def run_model(model_name: str, epochs: int, probe_only: bool = False):
         "data_s": round(t_data, 1), "build_s": round(t_build, 1),
         "fit_s": round(t_fit, 1),
         "fit_s_per_epoch": round(t_fit / max(1, epochs), 1),
+        # steady-state epoch time: min over recorded epochs (first epoch
+        # carries the XLA compiles; VERDICT r4 weak #6 asked for the split)
+        "fit_s_per_epoch_steady": (
+            round(min(trainer.epoch_times[1:]), 1)
+            if len(trainer.epoch_times) >= 2 else None
+        ),
+        "fit_s_epoch0": (
+            round(trainer.epoch_times[0], 1) if trainer.epoch_times else None
+        ),
         "peak_hbm_gb": peak_hbm_gb() or prof.get("hbm_static_gb"),
         "valid_recall@20": float(valid_res.get("recall@20", float("nan"))),
         "test_recall@20": float(test_res.get("recall@20", float("nan"))),
