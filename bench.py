@@ -363,8 +363,19 @@ def fullsort_roofline(n_items=63001, d=64, B=4096, n_chunks=4, max_k=50):
     mask = jnp.asarray(np.packbits(dense, axis=1, bitorder="little"))
     i_emb_pad = jnp.pad(i_emb, ((0, n_pad - n_items), (0, 0)))
 
-    def run(dtype, exact_grouped=True):
+    def run(dtype, exact_grouped=True, fused=False):
         from genmmrec_tpu.ops.topk import grouped_topk
+
+        if fused:
+            # the production single-chip bf16 eval path (engine/trainer.py
+            # fused_form): score+mask+top-k in one Pallas kernel, the
+            # (B, n_items) score plane never written to HBM
+            from genmmrec_tpu.ops.fused_topk import (
+                fused_grouped_topk, pack_planar_mask,
+            )
+
+            dense_np = np.asarray(dense[:, :n_items])
+            pmask = jnp.asarray(pack_planar_mask(dense_np))
 
         ue = u_emb.astype(dtype)
         ie = (i_emb_pad if exact_grouped else i_emb).astype(dtype)
@@ -385,6 +396,9 @@ def fullsort_roofline(n_items=63001, d=64, B=4096, n_chunks=4, max_k=50):
 
             def one(args):
                 u, m = args
+                if fused:
+                    v, _ = fused_grouped_topk(u, ie[:n_items], max_k, m)
+                    return v
                 scores = u @ ie.T
                 if exact_grouped:
                     # the production eval path: bit-packed mask fused into
@@ -400,9 +414,12 @@ def fullsort_roofline(n_items=63001, d=64, B=4096, n_chunks=4, max_k=50):
                 return v
 
             uc = up.reshape(n_chunks, B, d)
-            mc = mask.reshape(n_chunks, B, -1)
+            mc = (pmask if fused else mask).reshape(n_chunks, B, -1)
             v = jax.lax.map(one, (uc, mc))
-            return acc + v.astype(jnp.float32).sum() * 1e-30
+            # masked tails surface finfo(bf16).min sentinels on the fused
+            # path — clip before the carry sum so they cannot overflow it
+            v = jnp.maximum(v.astype(jnp.float32), -1e4)
+            return acc + v.sum() * 1e-30
 
         def chain(n):
             acc = jnp.float32(0.0)
@@ -435,8 +452,18 @@ def fullsort_roofline(n_items=63001, d=64, B=4096, n_chunks=4, max_k=50):
         }
 
     f32 = run(np.float32)
-    bf16 = run(jnp.bfloat16)
+    grouped_bf16 = run(jnp.bfloat16)
     lax_bf16 = run(jnp.bfloat16, exact_grouped=False)
+    # the production bf16 eval path: on TPU the fully fused Pallas kernel
+    # (engine/trainer.py fused_form), elsewhere the grouped top-k.
+    # frac_hbm_peak keeps the UNFUSED traffic model (score write + read) as
+    # its byte count, so for the fused kernel — which never moves the score
+    # plane — it reads as effective bandwidth vs the materializing path and
+    # can legitimately exceed what the actual traffic would allow.
+    if jax.default_backend() == "tpu":
+        bf16 = run(jnp.bfloat16, fused=True)
+    else:
+        bf16 = grouped_bf16
     return {
         "fullsort_elec_f32_s": f32["s"],
         "fullsort_elec_f32_frac_hbm_peak": f32["frac_hbm_peak"],
@@ -445,8 +472,10 @@ def fullsort_roofline(n_items=63001, d=64, B=4096, n_chunks=4, max_k=50):
         "fullsort_elec_bf16_users_per_s": bf16["users_per_s"],
         "fullsort_elec_bf16_frac_bf16_peak": bf16["frac_bf16_peak"],
         "fullsort_bf16_speedup": f32["s"] / bf16["s"],
+        "fullsort_elec_unfused_bf16_s": grouped_bf16["s"],
+        "fullsort_fused_speedup": grouped_bf16["s"] / bf16["s"],
         "fullsort_elec_laxtopk_bf16_s": lax_bf16["s"],
-        "fullsort_grouped_topk_speedup": lax_bf16["s"] / bf16["s"],
+        "fullsort_grouped_topk_speedup": lax_bf16["s"] / grouped_bf16["s"],
     }
 
 

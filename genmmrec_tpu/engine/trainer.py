@@ -145,6 +145,7 @@ class Trainer:
         self._train_epoch_fn = None
         self._eval_fn = None
         self._mask_cache = {}
+        self._fused_eval = False  # set by _build_eval_fn (fused_form)
 
     # ------------------------------------------------------------------
     def _make_optimizer(self) -> optax.GradientTransformation:
@@ -397,6 +398,18 @@ class Trainer:
         from genmmrec_tpu.ops.topk import _GROUP as _TKG
 
         n_items_pad = -(-n_items // _TKG) * _TKG
+        # fully fused score+mask+top-k (ops/fused_topk.py): the (B, n)
+        # score plane never touches HBM. Applies on the single-chip TPU
+        # bf16 GEMM-form eval path with a dense mask; the mask is then
+        # built in the kernel's planar bit layout (see _dense_mask).
+        fused_form = (
+            gemm_form
+            and topk_mesh is None
+            and jax.default_backend() == "tpu"
+            and jax.device_count() == 1
+            and model.eval_dtype == jnp.bfloat16
+        )
+        self._fused_eval = fused_form
 
         @partial(jax.jit, static_argnames=("n_chunks", "dense_mask"))
         def eval_topk_impl(params, state, users, mask_items, buffers, n_chunks, dense_mask=False):
@@ -404,9 +417,27 @@ class Trainer:
                 users_c = users.reshape(n_chunks, B)
                 mask_c = mask_items.reshape(n_chunks, B, -1)
                 arts = model.eval_artifacts(params, state) if has_cache else None
+                fused_here = (
+                    dense_mask
+                    and fused_form
+                    and isinstance(arts, tuple)
+                    and len(arts) == 2
+                    and hasattr(arts[1], "shape")
+                    and arts[1].shape[0] == n_items
+                )
+                if dense_mask and fused_form and not fused_here:
+                    # the planar mask layout was built for the fused path;
+                    # consuming it on any other branch would silently
+                    # corrupt the eval — fail loudly instead
+                    raise RuntimeError(
+                        "fused eval enabled but model artifacts are not "
+                        "GEMM-form (u_emb, i_emb) — cannot fall back with "
+                        "a planar mask"
+                    )
                 padfree = (
                     dense_mask
                     and topk_mesh is None
+                    and not fused_here
                     and gemm_form
                     and isinstance(arts, tuple)
                     and len(arts) == 2
@@ -422,6 +453,25 @@ class Trainer:
 
                 def one(args):
                     u, m = args
+                    if fused_here:
+                        from genmmrec_tpu.ops.fused_topk import (
+                            fused_grouped_topk,
+                        )
+
+                        # scores computed tile-by-tile inside the kernel
+                        # (bf16 GEMM, f32 accum), masked in-register from
+                        # the planar bit mask, folded straight into the
+                        # grouped selection — no score plane in HBM
+                        _, topk = fused_grouped_topk(
+                            arts[0][u], arts[1], k_eff, m
+                        )
+                        if k_eff < max_k:
+                            topk = jnp.pad(
+                                topk,
+                                ((0, 0), (0, max_k - k_eff)),
+                                constant_values=-1,
+                            )
+                        return topk
                     if has_cache:
                         scores = model.scores_cached(params, state, u, arts)
                     else:
@@ -476,8 +526,8 @@ class Trainer:
     # falls back to the per-chunk scatter
     _DENSE_MASK_BUDGET = 2 * 1024 * 1024 * 1024  # bytes (bool)
 
-    def _dense_mask(self, eval_data: EvalData):
-        key = id(eval_data)
+    def _dense_mask(self, eval_data: EvalData, planar: bool = False):
+        key = (id(eval_data), planar)
         cached = self._mask_cache.get(key)
         if cached is not None:
             return cached
@@ -504,6 +554,14 @@ class Trainer:
         from genmmrec_tpu.ops.topk import _GROUP as _TKG
 
         n_pad = -(-n_items // _TKG) * _TKG
+        if planar:
+            # fused eval consumes the kernel's per-tile planar bit layout
+            # (ops/fused_topk.py) at the TILE_N boundary (a _TKG multiple)
+            from genmmrec_tpu.ops.fused_topk import (
+                n_full_for, pack_planar_mask,
+            )
+
+            n_pad = n_full_for(n_items)
         packed_np = np.empty((U_pad, n_pad // 8), np.uint8)
         slab = max(1, (256 << 20) // max(n_pad, 1))  # ≤256 MB bool slab
         for lo in range(0, U_pad, slab):
@@ -515,7 +573,12 @@ class Trainer:
             dense_np = np.zeros((hi - lo, n_pad), bool)
             dense_np[:, n_items:] = True
             dense_np[rows, cols] = True
-            packed_np[lo:hi] = np.packbits(dense_np, axis=1, bitorder="little")
+            if planar:
+                packed_np[lo:hi] = pack_planar_mask(dense_np)
+            else:
+                packed_np[lo:hi] = np.packbits(
+                    dense_np, axis=1, bitorder="little"
+                )
         packed = jnp.asarray(packed_np)
         self._mask_cache[key] = packed
         return packed
@@ -765,7 +828,7 @@ class Trainer:
         if self._eval_fn is None:
             self._eval_fn = self._build_eval_fn()
         n_chunks = eval_data.users.shape[0] // self.eval_batch_size
-        dense = self._dense_mask(eval_data)
+        dense = self._dense_mask(eval_data, planar=self._fused_eval)
         mask = dense if dense is not None else eval_data.mask_items
         users, mask = self._shard_eval_inputs(eval_data.users, mask)
         topk_index = self._eval_fn(

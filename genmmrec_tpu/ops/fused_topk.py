@@ -21,8 +21,10 @@ the (B, n/128) group maxima, and the (B, k*128) candidate rows:
    theorem as ``ops/topk.py``).
 3. **candidate kernel** — recompute the score tiles (the op is
    bandwidth-bound; doubling the MXU work is ~free) and gather the k
-   winning groups' 128 lanes via a one-hot MXU contraction, accumulated
-   across item tiles in VMEM. Output: (B, k*128) masked candidates.
+   winning groups' 128 raw lanes PLUS their 128 mask bytes via one-hot
+   MXU contractions, masking at (B, k*128) candidate width — the v1
+   full-plane mask unpack+select was the kernel's VPU bottleneck.
+   Output: (B, k*128) masked candidates.
 4. the exact final top-k over k*128 candidates reuses
    ``ops/topk.grouped_topk``'s 16-wide recursion.
 
@@ -77,8 +79,11 @@ def pack_planar_mask(dense: np.ndarray, tile_n: int = TILE_N) -> np.ndarray:
 
 
 def _masked_tile(u, t_ref, m_ref, j, *, bt, tn):
-    """Score tile j as masked bf16: u @ T[:, tile] with the planar
-    bit-mask applied in-register. Returns (bt, tn) bf16."""
+    """Score tile j as masked bf16: u @ T[:, tile] (f32 MXU accum, rounded
+    to bf16 — XLA's bf16 dot semantics) with the planar bit-mask applied
+    in-register. All-bf16 vectors: an f32-domain variant of this tile chain
+    sent the Mosaic compiler into a multi-minute layout-inference stall at
+    nt=8, and buys nothing — bf16 rounding is monotone, so maxima agree."""
     s = jnp.dot(
         u, t_ref[:, j * tn:(j + 1) * tn],
         preferred_element_type=jnp.float32,
@@ -95,18 +100,32 @@ def _fold_kernel(u_ref, t_ref, m_ref, g_ref, *, bt, tn, nt, group):
     for j in range(nt):
         s = _masked_tile(u, t_ref, m_ref, j, bt=bt, tn=tn)
         s3 = s.reshape(bt, tn // group, group)
-        outs.append(jnp.max(s3, axis=-1).astype(jnp.float32))
+        outs.append(jnp.max(s3, axis=-1))
     g_ref[:] = jnp.concatenate(outs, axis=1)
 
 
 def _cand_kernel(gidx_ref, u_ref, t_ref, m_ref, c_ref, *, bt, tn, nt, group, kp):
+    """Gather the kp winning groups' 128 raw score lanes AND their 128
+    mask bytes via one-hot MXU contractions, then mask at candidate width.
+
+    The full (bt, tn) mask unpack + select that dominated the v1 kernel's
+    VPU time is avoided: in the planar layout a group's 128 bits live in
+    128 consecutive BYTES (tile byte-lane (g%8)*128 ..), all at bit
+    position (g//8)%8, so gathering bytes with the same one-hot pattern as
+    the scores and shifting once per candidate does the mask at
+    kp*group width instead of tn."""
     gt = tn // group
     u = u_ref[:]
     gidx = gidx_ref[:]                                   # (bt, kp) int32
     iota_g = jax.lax.broadcasted_iota(jnp.int32, (bt, kp, gt), 2)
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (bt, kp, gt // 8), 2)
     acc = jnp.zeros((bt, kp, group), jnp.float32)
+    accm = jnp.zeros((bt, kp, group), jnp.float32)
     for j in range(nt):
-        s = _masked_tile(u, t_ref, m_ref, j, bt=bt, tn=tn)
+        s = jnp.dot(
+            u, t_ref[:, j * tn:(j + 1) * tn],
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
         s3 = s.reshape(bt, gt, group)
         rel = gidx - j * gt
         # groups outside this tile match no iota lane -> all-zero rows;
@@ -118,7 +137,34 @@ def _cand_kernel(gidx_ref, u_ref, t_ref, m_ref, c_ref, *, bt, tn, nt, group, kp)
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-    c_ref[:] = acc.reshape(bt, kp * group).astype(jnp.bfloat16)
+        # mask bytes: tile j holds tn/8 bytes = gt/8 blocks of 128; group
+        # g (local l = g - j*gt) owns byte block l%8 at bit plane l//8
+        # Mosaic has no uint8->bf16 cast; widen to int32 first
+        mb = (
+            m_ref[:, j * (tn // 8):(j + 1) * (tn // 8)]
+            .astype(jnp.int32)
+            .astype(jnp.bfloat16)
+        )
+        m3 = mb.reshape(bt, gt // 8, group)
+        # gate folded into the compared value (out-of-tile -> -1, matching
+        # no iota lane): Mosaic cannot minor-dim-broadcast i1 vectors
+        sel = jnp.where((rel >= 0) & (rel < gt), rel % 8, -1)
+        ohb = iota_b == sel[:, :, None]
+        accm = accm + jax.lax.dot_general(
+            ohb.astype(jnp.bfloat16), m3,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    # bit plane of each candidate group: (g mod gt) // 8, same for all of
+    # its 128 lanes. Bytes are exact small ints in f32.
+    kbit = (gidx % gt) // 8                              # (bt, kp)
+    bits = (accm.astype(jnp.int32) >> kbit[:, :, None]) & 1
+    cand = jnp.where(
+        bits != 0,
+        jnp.asarray(jnp.finfo(jnp.bfloat16).min, jnp.bfloat16),
+        acc.astype(jnp.bfloat16),
+    )
+    c_ref[:] = cand.reshape(bt, kp * group)
 
 
 def fused_grouped_topk(
@@ -186,7 +232,7 @@ def fused_grouped_topk(
             pl.BlockSpec((bt, nf // 8), lambda i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((bt, ng), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b_pad, ng), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b_pad, ng), jnp.bfloat16),
         interpret=interpret,
         **vmem,
     )(ue, table, planar_mask)

@@ -72,7 +72,7 @@ def main():
                 pl.BlockSpec((bt, nf // 8), lambda i: (i, 0)),
             ],
             out_specs=pl.BlockSpec((bt, ng), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((B, ng), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, ng), jnp.bfloat16),
             **vmem,
         )(uc, table, mc)
 
@@ -90,7 +90,7 @@ def main():
             out_specs=pl.BlockSpec((bt, kp * _GROUP), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((B, kp * _GROUP), jnp.bfloat16),
             **vmem,
-        )(gidx_p, uc, mc)
+        )(gidx_p, uc, table, mc)
 
     eps = jnp.asarray(1e-38, jnp.float32)
 
@@ -100,7 +100,8 @@ def main():
 
         def one(args):
             uc, mc = args
-            return fold(uc, mc).sum()
+            g = fold(uc, mc).astype(jnp.float32)
+            return jnp.maximum(g, -1e4).sum()
         v = jax.lax.map(one, (up.reshape(NCH, B, D),
                               pm_pl.reshape(NCH, B, -1)))
         return acc + v.sum() * 1e-30
@@ -128,7 +129,7 @@ def main():
             _, gidx = jax.lax.top_k(g, K)
             gp = jnp.pad(gidx, ((0, 0), (0, kp - K)), constant_values=ng)
             c = cand(gp, uc, mc)
-            return c.astype(jnp.float32).sum()
+            return jnp.maximum(c.astype(jnp.float32), -1e4).sum()
         v = jax.lax.map(one, (up.reshape(NCH, B, D),
                               pm_pl.reshape(NCH, B, -1)))
         return acc + v.sum() * 1e-30
@@ -145,7 +146,8 @@ def main():
             c = cand(gp, uc, mc)
             flat = c[:, : K * _GROUP]
             v, pos = grouped_topk(flat, K, group=16)
-            return v.astype(jnp.float32).sum() + pos.sum().astype(jnp.float32)
+            return (jnp.maximum(v.astype(jnp.float32), -1e4).sum()
+                    + pos.sum().astype(jnp.float32))
         v = jax.lax.map(one, (up.reshape(NCH, B, D),
                               pm_pl.reshape(NCH, B, -1)))
         return acc + v.sum() * 1e-30
