@@ -78,27 +78,37 @@ def pack_planar_mask(dense: np.ndarray, tile_n: int = TILE_N) -> np.ndarray:
     return np.packbits(m4, axis=2, bitorder="little").reshape(b, nf // 8)
 
 
-def _masked_tile(u, t_ref, m_ref, j, *, bt, tn):
+def _masked_tile(u, t_ref, m_ref, j, *, bt, tn, arith=False):
     """Score tile j as masked bf16: u @ T[:, tile] (f32 MXU accum, rounded
     to bf16 — XLA's bf16 dot semantics) with the planar bit-mask applied
     in-register. All-bf16 vectors: an f32-domain variant of this tile chain
     sent the Mosaic compiler into a multi-minute layout-inference stall at
-    nt=8, and buys nothing — bf16 rounding is monotone, so maxima agree."""
+    nt=8, and buys nothing — bf16 rounding is monotone, so maxima agree.
+
+    arith=True replaces the compare+select with ``s - bit * max|bf16|``,
+    one bf16 FMA per lane; masked lanes land at ~-3.39e38 (score magnitudes
+    are <<1e36, so they can never win a group max), unmasked lanes are
+    bit-identical. Candidate-width masking later restores the exact
+    finfo.min sentinel contract."""
     s = jnp.dot(
         u, t_ref[:, j * tn:(j + 1) * tn],
         preferred_element_type=jnp.float32,
     ).astype(jnp.bfloat16)
     m32 = m_ref[:, j * (tn // 8):(j + 1) * (tn // 8)].astype(jnp.int32)
     bits = jnp.concatenate([(m32 >> k) & 1 for k in range(8)], axis=1)
+    if arith:
+        big = jnp.asarray(jnp.finfo(jnp.bfloat16).max, jnp.bfloat16)
+        return s - bits.astype(jnp.bfloat16) * big
     neg = jnp.asarray(jnp.finfo(jnp.bfloat16).min, jnp.bfloat16)
     return jnp.where(bits != 0, neg, s)
 
 
-def _fold_kernel(u_ref, t_ref, m_ref, g_ref, *, bt, tn, nt, group):
+def _fold_kernel(u_ref, t_ref, m_ref, g_ref, *, bt, tn, nt, group,
+                 arith=False):
     u = u_ref[:]
     outs = []
     for j in range(nt):
-        s = _masked_tile(u, t_ref, m_ref, j, bt=bt, tn=tn)
+        s = _masked_tile(u, t_ref, m_ref, j, bt=bt, tn=tn, arith=arith)
         s3 = s.reshape(bt, tn // group, group)
         outs.append(jnp.max(s3, axis=-1))
     g_ref[:] = jnp.concatenate(outs, axis=1)
@@ -167,6 +177,61 @@ def _cand_kernel(gidx_ref, u_ref, t_ref, m_ref, c_ref, *, bt, tn, nt, group, kp)
     c_ref[:] = cand.reshape(bt, kp * group)
 
 
+def _cand_kernel_slim(gidx_ref, u_ref, t_ref, c_ref, *, bt, tn, nt, group, kp):
+    """Score-only candidate gather: the kp winning groups' 128 raw lanes via
+    the one-hot MXU contraction, NO mask handling. The caller re-applies the
+    bit mask at (bt, kp*group) width outside the kernel with a per-row byte
+    gather from the planar mask — (bt, kp*group/8) bytes, ~1/8 of tn — which
+    XLA lowers as a plain gather, cheaper than the in-kernel one-hot byte
+    contraction it replaces."""
+    gt = tn // group
+    u = u_ref[:]
+    gidx = gidx_ref[:]                                   # (bt, kp) int32
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (bt, kp, gt), 2)
+    acc = jnp.zeros((bt, kp, group), jnp.float32)
+    for j in range(nt):
+        s = jnp.dot(
+            u, t_ref[:, j * tn:(j + 1) * tn],
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        s3 = s.reshape(bt, gt, group)
+        rel = gidx - j * gt
+        oh = (iota_g == rel[:, :, None]).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            oh, s3,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    c_ref[:] = acc.astype(jnp.bfloat16).reshape(bt, kp * group)
+
+
+def _external_mask(cand, gidx, planar_mask, *, group, tn):
+    """Apply the planar bit mask to gathered candidates outside the kernel.
+
+    cand: (b, kp*group) bf16 raw scores; gidx: (b, kp) group ids (the
+    out-of-range pad id ng force-masks its whole column). Inverse of
+    ``pack_planar_mask``'s layout: item i lives in tile T = i // tn at
+    in-tile offset r = i % tn, stored at packed column T*(tn/8) + r%(tn/8),
+    bit position r // (tn/8). The per-row byte gather is (b, kp*group)
+    bytes — ~tn/8 of the in-kernel full-plane unpack — and XLA lowers it
+    as a plain gather.
+    """
+    b, kpg = cand.shape
+    tn8 = tn // 8
+    lane = jnp.arange(group, dtype=jnp.int32)
+    item = (gidx[:, :, None] * group + lane).reshape(b, kpg)
+    t_idx = item // tn
+    r = item % tn
+    bitpos = r // tn8
+    col = t_idx * tn8 + r % tn8
+    oob = col >= planar_mask.shape[1]
+    col = jnp.minimum(col, planar_mask.shape[1] - 1)
+    mb = jnp.take_along_axis(planar_mask, col, axis=1).astype(jnp.int32)
+    bits = (mb >> bitpos) & 1
+    neg = jnp.asarray(jnp.finfo(jnp.bfloat16).min, jnp.bfloat16)
+    return jnp.where((bits != 0) | oob, neg, cand)
+
+
 def fused_grouped_topk(
     u_emb: jnp.ndarray,
     item_emb: jnp.ndarray,
@@ -175,6 +240,8 @@ def fused_grouped_topk(
     *,
     group: int = _GROUP,
     bt: int = _BT,
+    fold_arith: bool = False,
+    cand_mask: str = "mxu",
     interpret: bool = False,
 ):
     """Exact masked top-k of ``u_emb @ item_emb.T`` without materializing
@@ -224,7 +291,8 @@ def fused_grouped_topk(
     )
 
     gmax = pl.pallas_call(
-        partial(_fold_kernel, bt=bt, tn=TILE_N, nt=nt, group=group),
+        partial(_fold_kernel, bt=bt, tn=TILE_N, nt=nt, group=group,
+                arith=fold_arith),
         grid=(b_pad // bt,),
         in_specs=[
             pl.BlockSpec((bt, d), lambda i: (i, 0)),
@@ -240,20 +308,39 @@ def fused_grouped_topk(
     _, gidx = jax.lax.top_k(gmax, k)                     # (b_pad, k)
     gidx_p = jnp.pad(gidx, ((0, 0), (0, kp - k)), constant_values=ng)
 
-    cand = pl.pallas_call(
-        partial(_cand_kernel, bt=bt, tn=TILE_N, nt=nt, group=group, kp=kp),
-        grid=(b_pad // bt,),
-        in_specs=[
-            pl.BlockSpec((bt, kp), lambda i: (i, 0)),
-            pl.BlockSpec((bt, d), lambda i: (i, 0)),
-            pl.BlockSpec((d, nf), lambda i: (0, 0)),
-            pl.BlockSpec((bt, nf // 8), lambda i: (i, 0)),
-        ],
-        out_specs=pl.BlockSpec((bt, kp * group), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b_pad, kp * group), jnp.bfloat16),
-        interpret=interpret,
-        **vmem,
-    )(gidx_p, ue, table, planar_mask)
+    if cand_mask == "external":
+        cand = pl.pallas_call(
+            partial(_cand_kernel_slim, bt=bt, tn=TILE_N, nt=nt,
+                    group=group, kp=kp),
+            grid=(b_pad // bt,),
+            in_specs=[
+                pl.BlockSpec((bt, kp), lambda i: (i, 0)),
+                pl.BlockSpec((bt, d), lambda i: (i, 0)),
+                pl.BlockSpec((d, nf), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((bt, kp * group), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((b_pad, kp * group), jnp.bfloat16),
+            interpret=interpret,
+            **vmem,
+        )(gidx_p, ue, table)
+        cand = _external_mask(cand, gidx_p, planar_mask, group=group,
+                              tn=TILE_N)
+    else:
+        cand = pl.pallas_call(
+            partial(_cand_kernel, bt=bt, tn=TILE_N, nt=nt, group=group,
+                    kp=kp),
+            grid=(b_pad // bt,),
+            in_specs=[
+                pl.BlockSpec((bt, kp), lambda i: (i, 0)),
+                pl.BlockSpec((bt, d), lambda i: (i, 0)),
+                pl.BlockSpec((d, nf), lambda i: (0, 0)),
+                pl.BlockSpec((bt, nf // 8), lambda i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((bt, kp * group), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((b_pad, kp * group), jnp.bfloat16),
+            interpret=interpret,
+            **vmem,
+        )(gidx_p, ue, table, planar_mask)
 
     flat_cand = cand[:b, : k * group]
     gidx = gidx[:b]

@@ -53,7 +53,8 @@ def peak_hbm_gb():
 DATASET = "elec"
 
 
-def run_model(model_name: str, epochs: int, probe_only: bool = False):
+def run_model(model_name: str, epochs: int, probe_only: bool = False,
+              config_extra: dict | None = None):
     import jax
 
     from genmmrec_tpu.config import Config
@@ -74,6 +75,7 @@ def run_model(model_name: str, epochs: int, probe_only: bool = False):
         # would otherwise run one multi-hour XLA program per epoch, which
         # the TPU runtime kills as a dead worker
         "scan_slice_batches": 32,
+        **(config_extra or {}),
     })
     init_seed(int(config["seed"][0] if isinstance(config["seed"], list)
                   else config["seed"]))
@@ -240,7 +242,14 @@ def main():
     ap.add_argument("--probe-only", action="store_true",
                     help="memory probes only; merge into existing entries "
                          "without touching recorded timings/metrics")
+    ap.add_argument("--config-json", default="{}",
+                    help="extra Config overrides (e.g. '{\"remat_gcn\": 0}' "
+                         "for the DiffMM NaN/remat discrimination runs)")
+    ap.add_argument("--tag", default="",
+                    help="suffix for the results key (diagnostic runs land "
+                         "as e.g. DiffMM<tag> instead of clobbering DiffMM)")
     args = ap.parse_args()
+    config_extra = json.loads(args.config_json)
 
     global DATASET
     DATASET = args.dataset
@@ -254,18 +263,20 @@ def main():
 
     for m in args.models:
         print(f"=== {m} @ elec scale ===", flush=True)
+        mk = m + args.tag
         try:
-            r = run_model(m, args.epochs, probe_only=args.probe_only)
+            r = run_model(m, args.epochs, probe_only=args.probe_only,
+                          config_extra=config_extra)
             if args.probe_only:
                 keep = {
                     k: v for k, v in r.items()
                     if "hbm" in k or "probe" in k or "temps" in k
                 }
-                results[m] = {**results.get(m, {}), **keep}
+                results[mk] = {**results.get(mk, {}), **keep}
             else:
-                results[m] = r
+                results[mk] = r
         except Exception as e:  # record OOM/compile failures honestly
-            results[m] = {"model": m, "error": f"{type(e).__name__}: {e}"[:6000]}
+            results[mk] = {"model": m, "error": f"{type(e).__name__}: {e}"[:6000]}
         with open(out_path, "w") as f:
             json.dump(results, f, indent=2)
             f.write("\n")

@@ -105,3 +105,57 @@ def test_fused_mask_dominated_rows():
         real = i[r, : n_keep[r]]
         assert not dense[r, real].any()
     assert (i < n_items).all()
+
+
+@pytest.mark.parametrize("fold_arith,cand_mask", [
+    (True, "mxu"), (False, "external"), (True, "external"),
+])
+def test_fused_variants_match_oracle(fold_arith, cand_mask):
+    """The tuning-knob variants (arith fold mask, external candidate mask)
+    keep the exact-match contract of the default kernel."""
+    rng = np.random.default_rng(11)
+    b, d, k = 7, 64, 17
+    n_items = TILE_N + 321
+    u = jnp.asarray(rng.standard_normal((b, d), np.float32))
+    it = jnp.asarray(rng.standard_normal((n_items, d), np.float32))
+    dense = rng.random((b, n_items)) < 0.05
+    pm = jnp.asarray(pack_planar_mask(dense))
+
+    v_f, i_f = fused_grouped_topk(
+        u, it, k, pm, interpret=True,
+        fold_arith=fold_arith, cand_mask=cand_mask,
+    )
+    v_o, i_o = _oracle(u, it, k, dense)
+    v_f = np.asarray(v_f, np.float32)
+    v_o = np.asarray(v_o, np.float32)
+    np.testing.assert_array_equal(v_f, v_o)
+    i_f, i_o = np.asarray(i_f), np.asarray(i_o)
+    diff = i_f != i_o
+    if diff.any():
+        rows, cols = np.nonzero(diff)
+        assert (v_f[rows, cols] == v_o[rows, cols]).all()
+    assert (i_f < n_items).all()
+    assert not dense[np.arange(b)[:, None], i_f].any()
+
+
+@pytest.mark.parametrize("cand_mask", ["mxu", "external"])
+def test_fused_variants_mask_dominated(cand_mask):
+    rng = np.random.default_rng(5)
+    b, d, k = 3, 32, 9
+    n_items = 450
+    u = jnp.asarray(rng.standard_normal((b, d), np.float32))
+    it = jnp.asarray(rng.standard_normal((n_items, d), np.float32))
+    dense = np.ones((b, n_items), bool)
+    keep = rng.integers(0, n_items, (b, 4))
+    dense[np.arange(b)[:, None], keep] = False
+    pm = jnp.asarray(pack_planar_mask(dense))
+    v, i = fused_grouped_topk(
+        u, it, k, pm, interpret=True, fold_arith=True, cand_mask=cand_mask)
+    v = np.asarray(v, np.float32)
+    i = np.asarray(i)
+    sent = float(jnp.finfo(jnp.bfloat16).min)
+    n_keep = (~dense).sum(axis=1)
+    for r in range(b):
+        assert (v[r, n_keep[r]:] == sent).all()
+        assert not dense[r, i[r, : n_keep[r]]].any()
+    assert (i < n_items).all()
